@@ -1,0 +1,109 @@
+"""Typed run configuration.
+
+Single typed config replacing the reference's three-tier flag system
+(driver/parser.py ~45 argparse flags + utils/exp_driver.py hard-coded modes +
+configure_for_environment.py). Field names and defaults preserve the
+semantics of the reference's knobs (file:line cites inline). Supports
+file-based overrides (the reference's ``LoadFromFile`` @file support,
+driver/parser.py:4-12) via ``RunConfig.from_file`` / ``from_args``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+
+@dataclass
+class RunConfig:
+    # --- dataset / paths ---
+    dataset_name: str = "synth-arxiv"
+    dataset_root: str = "datasets"
+    output_root: str = "job_output"
+    job_name: str = "job"
+
+    # --- batch shape (driver/parser.py:44-61) ---
+    train_batch_size: int = 1024
+    test_batch_size: int = 4096
+    final_test_batch_size: int = 4096
+    train_fanouts: List[int] = field(default_factory=lambda: [15, 10, 5])
+    batchwise_test_fanouts: List[int] = field(default_factory=lambda: [20, 20, 20])
+    final_test_fanouts: List[int] = field(default_factory=lambda: [20, 20, 20])
+
+    # --- model (driver/parser.py:62-75) ---
+    model_name: str = "SAGE"
+    hidden_features: int = 256
+    num_layers: int = 3
+    lr: float = 0.003
+    dropout: float = 0.5
+
+    # --- run shape (driver/parser.py:76-103) ---
+    epochs: int = 25
+    trials: int = 1
+    test_epoch_frequency: int = 1
+    patience: Optional[int] = None
+
+    # --- host input pipeline (driver/parser.py:94-110) ---
+    num_workers: int = 4              # sampler threads
+    max_batches_in_flight: int = 8    # bounded queue depth (train_max_num_batches)
+    pipeline_disabled: bool = False   # --pipeline_disabled ablation
+
+    # --- determinism (driver/main.py:276-284) ---
+    make_deterministic: bool = False
+    seed: int = 0
+
+    # --- distribution (driver/parser.py:111-208) ---
+    distribute_data: bool = False
+    load_balance_scheme: str = "federated"   # fully_random | federated
+    execution_mode: str = "computation"      # computation | communication_simulation
+    computation_mode: str = "frequency_cache"  # normal | frequency_cache
+    cache_strategy: str = "vip"              # vip | simulation | degree
+    cache_size: float = 0.1                  # replication budget, fraction of V/k
+    cache_creation_epochs: int = 2
+    hbm_fraction: float = 1.0                # gpu_percent analog (base.py:107-116)
+
+    # --- static-shape bucketing (TPU-specific; no reference analog) ---
+    spec_safety: float = 1.3          # capacity head-room over calibrated max
+    calibration_batches: int = 8
+
+    # --- precision ---
+    param_dtype: str = "float32"
+    compute_dtype: str = "bfloat16"
+
+    def replace(self, **kw) -> "RunConfig":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_file(cls, path: str) -> "RunConfig":
+        with open(path) as f:
+            return cls(**json.load(f))
+
+    @classmethod
+    def from_args(cls, argv: Optional[List[str]] = None) -> "RunConfig":
+        """CLI override of any field: --field value (lists comma-separated)."""
+        import argparse
+
+        parser = argparse.ArgumentParser(prog="salient_plusplus_tpu")
+        parser.add_argument("--config_file", type=str, default=None)
+        for f in dataclasses.fields(cls):
+            if f.type in ("List[int]", List[int]):
+                parser.add_argument(f"--{f.name}", type=lambda s: [int(v) for v in s.split(",")])
+            elif f.type in ("bool", bool):
+                parser.add_argument(f"--{f.name}", type=lambda s: s.lower() in ("1", "true", "yes"))
+            elif f.type in ("Optional[int]", Optional[int]):
+                parser.add_argument(f"--{f.name}", type=int)
+            else:
+                ty = {"int": int, "float": float, "str": str}.get(str(f.type), str)
+                parser.add_argument(f"--{f.name}", type=ty)
+        ns = parser.parse_args(argv)
+        base = cls.from_file(ns.config_file) if ns.config_file else cls()
+        overrides = {
+            k: v for k, v in vars(ns).items()
+            if k != "config_file" and v is not None
+        }
+        return base.replace(**overrides)

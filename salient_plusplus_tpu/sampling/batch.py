@@ -1,0 +1,138 @@
+"""Static-shape padded mini-batch types.
+
+The TPU-native replacement for the reference's dynamic PreparedBatch /
+ProtoSample (fast_trainer/samplers.py:231-260, fast_sampler.cpp:180-227).
+XLA compiles one program per shape, so batches are padded to the capacities
+of a static ``BatchSpec`` bucket; actual sizes travel as scalar counts and
+padding is masked with iota comparisons inside the jitted step.
+
+Frontier layout (prefix property, mirroring the reference's cumulative
+``n_ids`` in multilayer_sample, fast_sampler.cpp:191-227):
+
+  n_id[:level_sizes[0]]  = seed nodes
+  n_id[:level_sizes[l]]  = frontier after sampling hop l
+  n_id[:level_sizes[L]]  = full receptive field (rows of the gathered x)
+
+Edges of hop h (sampling order h=0..L-1) form a bipartite COO with
+``dst`` indexing the hop's target frontier (level h) and ``src`` indexing
+the grown frontier (level h+1). Models process hops outermost-first
+(the reference reverses ``adjs``, fast_sampler.cpp:224), i.e. model layer i
+uses hop L-1-i; `PaddedBatch.edges` is stored in *processing* order.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Sequence, Tuple
+
+import numpy as np
+from flax import struct
+
+
+@dataclass(frozen=True)
+class BatchSpec:
+    """Static capacities for one batch bucket. Hashable → jit cache key."""
+
+    fanouts: Tuple[int, ...]          # sampling order (seeds outward)
+    seed_cap: int                     # max seeds per batch
+    node_caps: Tuple[int, ...]        # len L+1; cap of cumulative frontier per level
+    edge_caps: Tuple[int, ...]        # len L; per-hop edge capacity (sampling order)
+
+    def __post_init__(self):
+        L = len(self.fanouts)
+        assert len(self.node_caps) == L + 1
+        assert len(self.edge_caps) == L
+        assert self.node_caps[0] >= self.seed_cap
+        assert all(a <= b for a, b in zip(self.node_caps, self.node_caps[1:]))
+
+    @property
+    def num_hops(self) -> int:
+        return len(self.fanouts)
+
+    @property
+    def total_node_cap(self) -> int:
+        return self.node_caps[-1]
+
+    @classmethod
+    def worst_case(cls, batch_size: int, fanouts: Sequence[int],
+                   align: int = 128) -> "BatchSpec":
+        """Worst-case caps (no dedup). Explodes for big fanouts; use
+        ``calibrate`` for real graphs — this exists for tiny tests."""
+        def rnd(v):
+            return max(align, int(math.ceil(v / align)) * align)
+
+        node_caps = [batch_size]
+        edge_caps = []
+        for f in fanouts:
+            assert f >= 0, "worst_case cannot bound full expansion"
+            e = node_caps[-1] * f
+            edge_caps.append(rnd(e))
+            node_caps.append(rnd(node_caps[-1] + e))
+        return cls(tuple(fanouts), batch_size, tuple(node_caps), tuple(edge_caps))
+
+    @classmethod
+    def from_measurements(cls, batch_size: int, fanouts: Sequence[int],
+                          level_sizes_max: Sequence[int],
+                          edge_counts_max: Sequence[int],
+                          safety: float = 1.3, align: int = 128) -> "BatchSpec":
+        def rnd(v):
+            return max(align, int(math.ceil(v * safety / align)) * align)
+
+        node_caps = [max(batch_size, int(level_sizes_max[0]))]
+        node_caps += [rnd(v) for v in level_sizes_max[1:]]
+        # caps must stay monotone after rounding
+        for i in range(1, len(node_caps)):
+            node_caps[i] = max(node_caps[i], node_caps[i - 1])
+        edge_caps = [rnd(v) for v in edge_counts_max]
+        return cls(tuple(fanouts), batch_size, tuple(node_caps), tuple(edge_caps))
+
+
+class EdgeBlock(struct.PyTreeNode):
+    """One hop's padded bipartite COO. Padded slots hold index 0."""
+
+    src: "np.ndarray"     # int32 [E_cap] — index into input frontier
+    dst: "np.ndarray"     # int32 [E_cap] — index into output (target) frontier
+    count: "np.ndarray"   # int32 [] — actual number of edges
+
+
+class PaddedBatch(struct.PyTreeNode):
+    """A fully-prepared, fixed-shape mini-batch (host numpy or device jnp)."""
+
+    n_id: "np.ndarray"          # int32 [node_caps[-1]] global ids, padded with 0
+    level_sizes: "np.ndarray"   # int32 [L+1]
+    edges: Tuple[EdgeBlock, ...]  # PROCESSING order: edges[i] = hop L-1-i
+    y: "np.ndarray"             # int32 [seed_cap]
+    seed_count: "np.ndarray"    # int32 []
+    overflow: "np.ndarray"      # int32 [2] — (dropped_nodes, dropped_edges)
+
+    @property
+    def num_layers(self) -> int:
+        return len(self.edges)
+
+    def num_real_edges(self) -> int:
+        return int(sum(int(e.count) for e in self.edges))
+
+
+def batch_shape_dtypes(spec: BatchSpec):
+    """ShapeDtypeStruct pytree for a PaddedBatch under ``spec`` (for
+    jax.eval_shape / device_put layout planning)."""
+    import jax
+
+    def sd(shape, dtype=np.int32):
+        return jax.ShapeDtypeStruct(shape, dtype)
+
+    L = spec.num_hops
+    edges = tuple(
+        EdgeBlock(src=sd((spec.edge_caps[h],)), dst=sd((spec.edge_caps[h],)),
+                  count=sd(()))
+        for h in reversed(range(L))
+    )
+    return PaddedBatch(
+        n_id=sd((spec.total_node_cap,)),
+        level_sizes=sd((L + 1,)),
+        edges=edges,
+        y=sd((spec.seed_cap,)),
+        seed_count=sd(()),
+        overflow=sd((2,)),
+    )

@@ -1,0 +1,45 @@
+"""Test configuration: force an 8-device virtual CPU platform.
+
+This is the TPU-world "fake backend" the reference lacked (SURVEY.md §4):
+all SPMD/all_to_all code paths are exercised on a virtual 8-device CPU mesh,
+so distributed correctness is tested without hardware.
+Must run before jax initializes — pytest imports conftest first.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import numpy as np
+import pytest
+
+from salient_plusplus_tpu.data import synthetic
+
+
+@pytest.fixture(scope="session")
+def tiny_graph():
+    """Deterministic small planted-partition graph for unit tests."""
+    return synthetic.planted_partition(
+        name="tiny", num_nodes=500, num_classes=5, avg_degree=8,
+        num_features=16, seed=7,
+    )
+
+
+@pytest.fixture(scope="session")
+def small_graph():
+    """Medium graph for end-to-end/sampler tests."""
+    return synthetic.planted_partition(
+        name="small", num_nodes=5000, num_classes=10, avg_degree=10,
+        num_features=32, seed=3,
+    )
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
