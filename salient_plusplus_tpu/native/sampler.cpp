@@ -1,0 +1,264 @@
+// Native host-side multilayer neighbor sampler.
+//
+// TPU-native counterpart of the reference's C++ sampling core
+// (fast_sampler/sample_cpu.hpp:25-143, fast_sampler.cpp:191-227): uniform
+// per-hop neighbor sampling without replacement (Robert Floyd), cumulative
+// frontier with first-seen global->local relabeling. Re-designed for the
+// static-shape TPU pipeline: results are written directly into preallocated
+// *padded* buffers (node/edge capacities per hop) with overflow counting, so
+// batches leave the sampler ready for jax.device_put with zero further host
+// work. Exposed as a plain C ABI for ctypes (no pybind11 in this image).
+//
+// Threading model: the sampler itself is single-threaded per call and
+// re-entrant via per-thread Workspace objects; parallelism comes from Python
+// worker threads (ctypes releases the GIL for the call duration), replacing
+// the reference's in-C++ thread pool + lock-free queues (fast_sampler.cpp:
+// 368-513) with a simpler design of equal capability.
+//
+// Build: g++ -O3 -march=native -shared -fPIC -std=c++17 sampler.cpp -o libsptpu.so
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// splitmix64 — deterministic per-batch seeding (the analog of the
+// reference's gen.seed(batch*17+5), fast_sampler.cpp:994).
+static inline uint64_t splitmix64(uint64_t& s) {
+  uint64_t z = (s += 0x9E3779B97F4A7C15ULL);
+  z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ULL;
+  z = (z ^ (z >> 27)) * 0x94D049BB133111EBULL;
+  return z ^ (z >> 31);
+}
+
+struct Rng {
+  uint64_t s0, s1;
+  explicit Rng(uint64_t seed) {
+    s0 = splitmix64(seed);
+    s1 = splitmix64(seed);
+  }
+  // xoroshiro128+
+  inline uint64_t next() {
+    const uint64_t a = s0;
+    uint64_t b = s1;
+    const uint64_t r = a + b;
+    b ^= a;
+    s0 = ((a << 24) | (a >> 40)) ^ b ^ (b << 16);
+    s1 = (b << 37) | (b >> 27);
+    return r;
+  }
+  // unbiased-enough bounded draw (n << 2^64)
+  inline uint32_t bounded(uint32_t n) { return (uint32_t)(next() % n); }
+};
+
+// Open-addressing int32->int32 hash map with generation stamping: clearing
+// between batches is O(1) (bump the generation) instead of a memset.
+// Replaces the reference's phmap::flat_hash_map relabel table
+// (sample_cpu.hpp:13-19) without vendoring the library.
+struct Workspace {
+  std::vector<int32_t> keys;
+  std::vector<int32_t> vals;
+  std::vector<uint32_t> stamp;
+  uint32_t gen = 0;
+  uint32_t mask = 0;
+  uint32_t filled = 0;    // entries stamped this generation
+  uint32_t fill_cap = 0;  // probe-safety bound (< capacity)
+  std::vector<int32_t> floyd;  // Robert Floyd scratch
+
+  void reserve(int64_t max_entries) {
+    uint64_t cap = 64;
+    while (cap < (uint64_t)max_entries * 2) cap <<= 1;
+    if (keys.size() < cap) {
+      keys.assign(cap, 0);
+      vals.assign(cap, 0);
+      stamp.assign(cap, 0);
+      gen = 0;
+    }
+    mask = (uint32_t)(keys.size() - 1);
+    // Dropped (over-cap) nodes also occupy slots; bound total occupancy so
+    // linear probing always terminates even when the graph has far more
+    // distinct reachable nodes than the batch's node capacity.
+    fill_cap = (uint32_t)(keys.size() - (keys.size() >> 2));  // 75%
+  }
+  inline void clear() {
+    filled = 0;
+    if (++gen == 0) {  // stamp wrap: full reset once per 2^32 batches
+      std::fill(stamp.begin(), stamp.end(), 0u);
+      gen = 1;
+    }
+  }
+  static inline uint32_t hash(int32_t k) {
+    uint32_t h = (uint32_t)k * 2654435761u;
+    h ^= h >> 15;
+    return h;
+  }
+  // Insert key if absent; returns (value, inserted). `next_val` used on
+  // insert. When the table is at the occupancy bound, absent keys are
+  // reported as dropped (value -1, not inserted) — only reachable when the
+  // batch is already far past its node capacity.
+  inline int32_t get_or_insert(int32_t key, int32_t next_val, bool* inserted) {
+    uint32_t i = hash(key) & mask;
+    while (true) {
+      if (stamp[i] != gen) {
+        if (filled >= fill_cap) {
+          *inserted = false;
+          return -1;
+        }
+        ++filled;
+        stamp[i] = gen;
+        keys[i] = key;
+        vals[i] = next_val;
+        *inserted = true;
+        return next_val;
+      }
+      if (keys[i] == key) {
+        *inserted = false;
+        return vals[i];
+      }
+      i = (i + 1) & mask;
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* sptpu_ws_create(int64_t max_nodes) {
+  auto* ws = new Workspace();
+  ws->reserve(max_nodes);
+  return ws;
+}
+
+void sptpu_ws_destroy(void* p) { delete static_cast<Workspace*>(p); }
+
+// Sample one multilayer batch into padded buffers.
+//
+// Outputs (all preallocated by caller):
+//   out_n_id        int32 [node_caps[L]]    cumulative frontier, zero-padded
+//   out_level_sizes int32 [L+1]
+//   out_edge_src    int32 [sum(edge_caps)]  hop h at offset edge_offsets[h]
+//   out_edge_dst    int32 [sum(edge_caps)]
+//   out_edge_counts int32 [L]
+//   out_overflow    int32 [2]               {dropped_nodes, dropped_edges}
+// Returns 0 on success.
+int32_t sptpu_sample_batch(
+    void* ws_ptr, const int64_t* rowptr, const int32_t* col,
+    const int64_t* seeds, int32_t num_seeds, const int32_t* fanouts,
+    int32_t num_hops, uint64_t rng_seed, const int32_t* node_caps,
+    const int64_t* edge_offsets, const int32_t* edge_caps, int32_t* out_n_id,
+    int32_t* out_level_sizes, int32_t* out_edge_src, int32_t* out_edge_dst,
+    int32_t* out_edge_counts, int32_t* out_overflow) {
+  Workspace& ws = *static_cast<Workspace*>(ws_ptr);
+  ws.reserve(node_caps[num_hops]);
+  ws.clear();
+  Rng rng(rng_seed);
+
+  int32_t n = 0;  // current frontier size
+  const int32_t total_cap = node_caps[num_hops];
+  if (num_seeds > node_caps[0]) return 1;
+  for (int32_t i = 0; i < num_seeds; ++i) {
+    bool ins;
+    ws.get_or_insert((int32_t)seeds[i], n, &ins);
+    if (!ins) return 2;  // duplicate seeds
+    out_n_id[n++] = (int32_t)seeds[i];
+  }
+  out_level_sizes[0] = n;
+  int32_t dropped_nodes = 0, dropped_edges = 0;
+
+  for (int32_t h = 0; h < num_hops; ++h) {
+    const int32_t fanout = fanouts[h];
+    const int32_t frontier = n;
+    const int32_t node_cap = node_caps[h + 1];
+    const int32_t edge_cap = edge_caps[h];
+    int32_t* esrc = out_edge_src + edge_offsets[h];
+    int32_t* edst = out_edge_dst + edge_offsets[h];
+    int32_t e = 0;
+
+    // add one sampled neighbor edge (target i, graph-node c). Nodes past the
+    // level cap are remembered with value -1 so repeat hits also drop.
+    const auto add_neighbor = [&](int32_t i, int32_t c) {
+      bool ins;
+      const int32_t val_if_new =
+          (n < node_cap && n < total_cap) ? n : -1;
+      const int32_t j = ws.get_or_insert(c, val_if_new, &ins);
+      if (j < 0) {
+        ++dropped_nodes;
+        return;
+      }
+      if (ins) out_n_id[n++] = c;
+      if (e >= edge_cap) {
+        ++dropped_edges;
+        return;
+      }
+      esrc[e] = j;
+      edst[e] = i;
+      ++e;
+    };
+
+    for (int32_t i = 0; i < frontier; ++i) {
+      const int32_t u = out_n_id[i];
+      const int64_t row_start = rowptr[u];
+      const int32_t deg = (int32_t)(rowptr[u + 1] - row_start);
+      if (deg <= 0) continue;
+      if (fanout < 0 || deg <= fanout) {
+        for (int32_t p = 0; p < deg; ++p) add_neighbor(i, col[row_start + p]);
+      } else {
+        // Robert Floyd sampling without replacement: k distinct of [0, deg)
+        auto& perm = ws.floyd;
+        perm.clear();
+        for (int32_t j = deg - fanout; j < deg; ++j) {
+          const int32_t option = (int32_t)rng.bounded((uint32_t)j);
+          int32_t winner;
+          if (std::find(perm.cbegin(), perm.cend(), option) == perm.cend()) {
+            perm.push_back(option);
+            winner = option;
+          } else {
+            perm.push_back(j);
+            winner = j;
+          }
+          add_neighbor(i, col[row_start + winner]);
+        }
+      }
+    }
+    // zero the padded tail of this hop's edge block
+    std::memset(esrc + e, 0, sizeof(int32_t) * (size_t)(edge_cap - e));
+    std::memset(edst + e, 0, sizeof(int32_t) * (size_t)(edge_cap - e));
+    out_edge_counts[h] = e;
+    out_level_sizes[h + 1] = n;
+  }
+
+  std::memset(out_n_id + n, 0, sizeof(int32_t) * (size_t)(total_cap - n));
+  out_overflow[0] = dropped_nodes;
+  out_overflow[1] = dropped_edges;
+  return 0;
+}
+
+// Row-gather of a 2-D row-major array: out[i, :] = in[idx[i], :].
+// The host-tier feature slicer (analog of the reference's serial_index,
+// fast_sampler.cpp:238-279) for features that do not fit in HBM.
+// elem_size in bytes (2 for fp16/bf16, 4 for fp32).
+void sptpu_gather_rows(const void* in, const int64_t* idx, int64_t n_idx,
+                       int64_t row_bytes, void* out) {
+  const char* src = static_cast<const char*>(in);
+  char* dst = static_cast<char*>(out);
+  for (int64_t i = 0; i < n_idx; ++i) {
+    std::memcpy(dst + i * row_bytes, src + idx[i] * row_bytes,
+                (size_t)row_bytes);
+  }
+}
+
+// int32-index variant used for label slicing and cache assembly.
+void sptpu_gather_rows_i32(const void* in, const int32_t* idx, int64_t n_idx,
+                           int64_t row_bytes, void* out) {
+  const char* src = static_cast<const char*>(in);
+  char* dst = static_cast<char*>(out);
+  for (int64_t i = 0; i < n_idx; ++i) {
+    std::memcpy(dst + i * row_bytes, src + (int64_t)idx[i] * row_bytes,
+                (size_t)row_bytes);
+  }
+}
+
+}  // extern "C"

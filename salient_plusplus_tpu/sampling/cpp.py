@@ -1,0 +1,179 @@
+"""ctypes bindings to the native sampler (native/sampler.cpp).
+
+One `NativeSampler` per graph; thread-safe via per-thread workspaces
+(ctypes releases the GIL during the foreign call, so Python worker threads
+sample in true parallel — replacing the reference's in-C++ thread pool,
+fast_sampler.cpp:368-513).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import threading
+
+import numpy as np
+
+from ..native.build import lib_path
+from .batch import BatchSpec, EdgeBlock, PaddedBatch
+
+_c_i32p = ctypes.POINTER(ctypes.c_int32)
+_c_i64p = ctypes.POINTER(ctypes.c_int64)
+
+
+def _load_lib():
+    lib = ctypes.CDLL(lib_path())
+    lib.sptpu_ws_create.restype = ctypes.c_void_p
+    lib.sptpu_ws_create.argtypes = [ctypes.c_int64]
+    lib.sptpu_ws_destroy.argtypes = [ctypes.c_void_p]
+    lib.sptpu_sample_batch.restype = ctypes.c_int32
+    lib.sptpu_sample_batch.argtypes = [
+        ctypes.c_void_p, _c_i64p, _c_i32p, _c_i64p, ctypes.c_int32,
+        _c_i32p, ctypes.c_int32, ctypes.c_uint64, _c_i32p, _c_i64p, _c_i32p,
+        _c_i32p, _c_i32p, _c_i32p, _c_i32p, _c_i32p, _c_i32p,
+    ]
+    lib.sptpu_gather_rows.argtypes = [
+        ctypes.c_void_p, _c_i64p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p,
+    ]
+    lib.sptpu_gather_rows_i32.argtypes = [
+        ctypes.c_void_p, _c_i32p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p,
+    ]
+    return lib
+
+
+_LIB = None
+_LIB_LOCK = threading.Lock()
+
+
+def get_lib():
+    global _LIB
+    with _LIB_LOCK:
+        if _LIB is None:
+            _LIB = _load_lib()
+        return _LIB
+
+
+def _ptr(a: np.ndarray, ty):
+    return a.ctypes.data_as(ty)
+
+
+class BatchBuffers:
+    """Preallocated padded output buffers for one in-flight batch."""
+
+    def __init__(self, spec: BatchSpec):
+        self.spec = spec
+        L = spec.num_hops
+        self.n_id = np.zeros(spec.total_node_cap, np.int32)
+        self.level_sizes = np.zeros(L + 1, np.int32)
+        total_e = sum(spec.edge_caps)
+        self.edge_src = np.zeros(total_e, np.int32)
+        self.edge_dst = np.zeros(total_e, np.int32)
+        self.edge_counts = np.zeros(L, np.int32)
+        self.edge_offsets = np.zeros(L + 1, np.int64)
+        np.cumsum(np.asarray(spec.edge_caps, np.int64), out=self.edge_offsets[1:])
+        self.overflow = np.zeros(2, np.int32)
+        self.y = np.zeros(spec.seed_cap, np.int32)
+        self.seed_count = np.int32(0)
+
+    def to_padded_batch(self) -> PaddedBatch:
+        """Zero-copy view as a PaddedBatch (hops reversed to processing order)."""
+        spec = self.spec
+        L = spec.num_hops
+        off = self.edge_offsets
+        edges = tuple(
+            EdgeBlock(
+                src=self.edge_src[off[h]:off[h + 1]],
+                dst=self.edge_dst[off[h]:off[h + 1]],
+                count=self.edge_counts[h],
+            )
+            for h in reversed(range(L))
+        )
+        return PaddedBatch(
+            n_id=self.n_id, level_sizes=self.level_sizes, edges=edges,
+            y=self.y, seed_count=self.seed_count, overflow=self.overflow,
+        )
+
+
+class NativeSampler:
+    """Stateless-per-call native sampler over one graph's CSR."""
+
+    def __init__(self, rowptr: np.ndarray, col: np.ndarray):
+        assert rowptr.dtype == np.int64 and col.dtype == np.int32
+        self.rowptr = np.ascontiguousarray(rowptr)
+        self.col = np.ascontiguousarray(col)
+        self.lib = get_lib()
+        self._local = threading.local()
+
+    def _workspace(self, max_nodes: int):
+        ws = getattr(self._local, "ws", None)
+        if ws is None or self._local.ws_nodes < max_nodes:
+            if ws is not None:
+                self.lib.sptpu_ws_destroy(ws)
+            ws = self.lib.sptpu_ws_create(ctypes.c_int64(max_nodes))
+            self._local.ws = ws
+            self._local.ws_nodes = max_nodes
+        return ws
+
+    def sample_into(
+        self,
+        bufs: BatchBuffers,
+        seeds: np.ndarray,
+        rng_seed: int,
+        y_global: np.ndarray | None = None,
+    ) -> None:
+        spec = bufs.spec
+        seeds = np.ascontiguousarray(seeds, dtype=np.int64)
+        fanouts = np.asarray(spec.fanouts, np.int32)
+        node_caps = np.asarray(spec.node_caps, np.int32)
+        edge_caps = np.asarray(spec.edge_caps, np.int32)
+        ws = self._workspace(spec.total_node_cap)
+        rc = self.lib.sptpu_sample_batch(
+            ws,
+            _ptr(self.rowptr, _c_i64p), _ptr(self.col, _c_i32p),
+            _ptr(seeds, _c_i64p), ctypes.c_int32(len(seeds)),
+            _ptr(fanouts, _c_i32p), ctypes.c_int32(spec.num_hops),
+            ctypes.c_uint64(rng_seed & (2**64 - 1)),
+            _ptr(node_caps, _c_i32p),
+            _ptr(bufs.edge_offsets, _c_i64p), _ptr(edge_caps, _c_i32p),
+            _ptr(bufs.n_id, _c_i32p), _ptr(bufs.level_sizes, _c_i32p),
+            _ptr(bufs.edge_src, _c_i32p), _ptr(bufs.edge_dst, _c_i32p),
+            _ptr(bufs.edge_counts, _c_i32p), _ptr(bufs.overflow, _c_i32p),
+        )
+        if rc != 0:
+            raise RuntimeError(f"sptpu_sample_batch failed rc={rc} "
+                               f"(1=too many seeds, 2=duplicate seeds)")
+        bufs.seed_count = np.int32(len(seeds))
+        if y_global is not None:
+            ns = len(seeds)
+            bufs.y[:ns] = y_global[bufs.n_id[:ns]]
+            bufs.y[ns:] = 0
+
+    def sample(self, spec: BatchSpec, seeds: np.ndarray, rng_seed: int,
+               y_global: np.ndarray | None = None) -> PaddedBatch:
+        bufs = BatchBuffers(spec)
+        self.sample_into(bufs, seeds, rng_seed,
+                         y_global if y_global is not None else None)
+        return bufs.to_padded_batch()
+
+
+def gather_rows(src: np.ndarray, idx: np.ndarray, out: np.ndarray | None = None):
+    """Native row gather (serial_index analog) for host-tier features."""
+    lib = get_lib()
+    assert src.flags["C_CONTIGUOUS"]
+    row_bytes = src.strides[0]
+    if out is None:
+        out = np.empty((len(idx), *src.shape[1:]), src.dtype)
+    if idx.dtype == np.int64:
+        lib.sptpu_gather_rows(
+            src.ctypes.data_as(ctypes.c_void_p),
+            _ptr(np.ascontiguousarray(idx), _c_i64p),
+            ctypes.c_int64(len(idx)), ctypes.c_int64(row_bytes),
+            out.ctypes.data_as(ctypes.c_void_p))
+    else:
+        lib.sptpu_gather_rows_i32(
+            src.ctypes.data_as(ctypes.c_void_p),
+            _ptr(np.ascontiguousarray(idx, np.int32), _c_i32p),
+            ctypes.c_int64(len(idx)), ctypes.c_int64(row_bytes),
+            out.ctypes.data_as(ctypes.c_void_p))
+    return out

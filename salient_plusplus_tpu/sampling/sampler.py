@@ -1,0 +1,208 @@
+"""Threaded sampling sessions producing padded batches.
+
+The TPU-native FastSampler/FastSamplerSession analog (reference:
+fast_trainer/samplers.py:271-423 driving fast_sampler.cpp:533-935). The
+reference runs an in-C++ thread pool with lock-free queues; here Python
+worker threads call the native sampler (GIL released during the C call) and
+recycle preallocated padded buffer sets through a bounded pool — the pool
+bound plays the role of the reference's ``items_in_queue`` semaphore
+(fast_sampler.cpp:904).
+
+Correctness invariants carried over verbatim (SURVEY.md N9/N10):
+- *equal iteration counts*: with ``exact_num_batches`` set, the epoch's seed
+  ids are split into exactly that many nearly-equal chunks regardless of
+  batch_size (fast_sampler.cpp:587-627), so every SPMD rank runs the same
+  number of steps;
+- *deterministic batch order*: batches are released to the consumer in epoch
+  order via a reorder buffer (fast_sampler.cpp:653-712), so collectives
+  line up across ranks;
+- *per-batch deterministic RNG*: seed derived from (base_seed, epoch,
+  batch index) (the analog of gen.seed(pair.second*17+5),
+  fast_sampler.cpp:994).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from .batch import BatchSpec, PaddedBatch
+from .cpp import BatchBuffers, NativeSampler
+
+
+def batch_seed(base_seed: int, epoch: int, batch_no: int) -> int:
+    """Deterministic, well-mixed per-batch RNG seed."""
+    s = (base_seed * 0x9E3779B97F4A7C15 + epoch * 0xBF58476D1CE4E5B9
+         + batch_no * 0x94D049BB133111EB) & (2**64 - 1)
+    s ^= s >> 31
+    return s or 1
+
+
+def split_seeds(idx: np.ndarray, batch_size: int,
+                exact_num_batches: Optional[int] = None) -> List[np.ndarray]:
+    """Chunk epoch seeds into batches.
+
+    With exact_num_batches: nearly-equal split (N10 parity). Without: simple
+    batch_size chunks (last partial).
+    """
+    if exact_num_batches is not None:
+        return [c for c in np.array_split(idx, exact_num_batches)]
+    return [idx[i:i + batch_size] for i in range(0, len(idx), batch_size)]
+
+
+@dataclass
+class SamplerStats:
+    """Per-epoch sampler observability (FastSamplerStats parity,
+    fast_trainer/samplers.py:308-315)."""
+
+    total_blocked_dur: float = 0.0   # consumer wait in __next__
+    total_blocked_occasions: int = 0
+    sample_time: float = 0.0         # sum over workers
+    batches: int = 0
+    dropped_nodes: int = 0
+    dropped_edges: int = 0
+
+
+@dataclass
+class FastSamplerConfig:
+    """Mirror of the reference's FastSamplerConfig (samplers.py:271-298),
+    reduced to what the TPU pipeline needs host-side."""
+
+    spec: BatchSpec
+    batch_size: int
+    base_seed: int = 0
+    num_workers: int = 3
+    max_batches_in_flight: int = 8
+    exact_num_batches: Optional[int] = None
+    skip_nonfull_batch: bool = False
+
+
+class FastSamplerIter:
+    """One epoch's iterator: spawns workers, yields in-order BatchBuffers.
+
+    Consumer must call :meth:`recycle` once the buffers' contents have been
+    copied to device (the feeder in train/pipeline.py does this); recycling
+    returns the buffer set to the pool and unblocks a worker.
+    """
+
+    def __init__(self, sampler: "FastSampler", epoch: int):
+        self.sampler = sampler
+        cfg = sampler.cfg
+        idx = sampler.get_epoch_idx(epoch)
+        self.batches = split_seeds(idx, cfg.batch_size, cfg.exact_num_batches)
+        if cfg.skip_nonfull_batch and self.batches and \
+                len(self.batches[-1]) < cfg.batch_size:
+            self.batches = self.batches[:-1]
+        self.num_batches = len(self.batches)
+        self.stats = SamplerStats()
+        self.epoch = epoch
+        self._next_expected = 0
+        self._reorder: dict[int, BatchBuffers] = {}
+        self._out: queue.Queue = queue.Queue()
+        self._free: queue.Queue = queue.Queue()
+        self._work: queue.Queue = queue.Queue()
+        self._shutdown = threading.Event()
+        pool = min(cfg.max_batches_in_flight + cfg.num_workers,
+                   max(2, self.num_batches + 1))
+        for _ in range(max(pool, 1)):
+            self._free.put(BatchBuffers(cfg.spec))
+        for bno, seeds in enumerate(self.batches):
+            self._work.put(bno)
+        self._threads = []
+        nworkers = max(1, cfg.num_workers)
+        for _ in range(nworkers):
+            t = threading.Thread(target=self._worker, daemon=True)
+            t.start()
+            self._threads.append(t)
+
+    def _worker(self):
+        cfg = self.sampler.cfg
+        while not self._shutdown.is_set():
+            try:
+                bno = self._work.get_nowait()
+            except queue.Empty:
+                return
+            bufs = self._free.get()
+            if bufs is None or self._shutdown.is_set():
+                return
+            t0 = time.perf_counter()
+            self.sampler.native.sample_into(
+                bufs, self.batches[bno],
+                rng_seed=batch_seed(cfg.base_seed, self.epoch, bno),
+                y_global=self.sampler.y,
+            )
+            self.stats.sample_time += time.perf_counter() - t0
+            self._out.put((bno, bufs))
+
+    def __len__(self):
+        return self.num_batches
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> BatchBuffers:
+        if self._next_expected >= self.num_batches:
+            self.close()
+            raise StopIteration
+        t0 = time.perf_counter()
+        blocked = False
+        while self._next_expected not in self._reorder:
+            bno, bufs = self._out.get()
+            blocked = True
+            self._reorder[bno] = bufs
+        if blocked:
+            dur = time.perf_counter() - t0
+            if dur > 1e-4:
+                self.stats.total_blocked_dur += dur
+                self.stats.total_blocked_occasions += 1
+        bufs = self._reorder.pop(self._next_expected)
+        self._next_expected += 1
+        self.stats.batches += 1
+        self.stats.dropped_nodes += int(bufs.overflow[0])
+        self.stats.dropped_edges += int(bufs.overflow[1])
+        return bufs
+
+    def recycle(self, bufs: BatchBuffers) -> None:
+        self._free.put(bufs)
+
+    def close(self):
+        self._shutdown.set()
+        # unblock any worker waiting on a free buffer
+        for _ in self._threads:
+            self._free.put(None)
+        for t in self._threads:
+            t.join(timeout=5)
+        self._threads = []
+
+
+class FastSampler:
+    """Epoch-iterable sampler over one graph (FastSampler parity,
+    samplers.py:372-399). ``idx`` is set per epoch by the driver/shuffler."""
+
+    def __init__(self, rowptr: np.ndarray, col: np.ndarray, y: np.ndarray,
+                 cfg: FastSamplerConfig,
+                 idx: Optional[np.ndarray] = None):
+        self.native = NativeSampler(rowptr, col)
+        self.y = y
+        self.cfg = cfg
+        self.idx = idx if idx is not None else np.empty(0, np.int64)
+        self.epoch = 0
+
+    def get_epoch_idx(self, epoch: int) -> np.ndarray:
+        return self.idx
+
+    def set_epoch(self, idx: np.ndarray, epoch: int):
+        self.idx = idx
+        self.epoch = epoch
+
+    def __len__(self):
+        return len(split_seeds(self.idx, self.cfg.batch_size,
+                               self.cfg.exact_num_batches))
+
+    def __iter__(self) -> FastSamplerIter:
+        return FastSamplerIter(self, self.epoch)

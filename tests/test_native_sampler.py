@@ -1,0 +1,127 @@
+import numpy as np
+import pytest
+
+from salient_plusplus_tpu.sampling import BatchSpec, multilayer_sample_np, pad_sample
+from salient_plusplus_tpu.sampling.cpp import NativeSampler, gather_rows
+
+from .test_oracle_sampler import check_sample_invariants
+
+
+class FakeSample:
+    """Adapter: view a PaddedBatch as an oracle SampleResult for the shared
+    invariant checker."""
+
+    def __init__(self, b, spec):
+        L = spec.num_hops
+        self.level_sizes = b.level_sizes.tolist()
+        self.n_id = b.n_id[: self.level_sizes[-1]]
+        self.hops = []
+        for h in range(L):
+            eb = b.edges[L - 1 - h]  # back to sampling order
+            c = int(eb.count)
+            self.hops.append((eb.dst[:c], eb.src[:c]))
+
+
+def test_full_expansion_bitexact_vs_oracle(small_graph):
+    """fanout=-1 is deterministic: C++ and oracle must agree exactly."""
+    g = small_graph
+    seeds = g.split_idx["train"][:32]
+    fanouts = [-1, -1]
+    oracle = multilayer_sample_np(g.rowptr, g.col, seeds, fanouts)
+    n_tot = oracle.level_sizes[-1]
+    e_tot = [len(h[0]) for h in oracle.hops]
+    spec = BatchSpec(tuple(fanouts), 32,
+                     (32, oracle.level_sizes[1], n_tot + 128),
+                     (e_tot[0] + 128, e_tot[1] + 128))
+    ns = NativeSampler(g.rowptr, g.col)
+    b = ns.sample(spec, seeds, rng_seed=123, y_global=g.y)
+    assert b.level_sizes.tolist() == oracle.level_sizes
+    np.testing.assert_array_equal(b.n_id[:n_tot], oracle.n_id)
+    for h in range(2):
+        eb = b.edges[1 - h]
+        c = int(eb.count)
+        assert c == e_tot[h]
+        np.testing.assert_array_equal(eb.dst[:c], oracle.hops[h][0])
+        np.testing.assert_array_equal(eb.src[:c], oracle.hops[h][1])
+    assert b.overflow.tolist() == [0, 0]
+    np.testing.assert_array_equal(b.y[:32], g.y[seeds])
+    # padding is zeroed
+    assert not b.n_id[n_tot:].any()
+
+
+def test_sampled_invariants_native(small_graph):
+    g = small_graph
+    seeds = g.split_idx["train"][:256]
+    fanouts = [10, 5]
+    spec = BatchSpec.worst_case(256, fanouts)
+    ns = NativeSampler(g.rowptr, g.col)
+    b = ns.sample(spec, seeds, rng_seed=7, y_global=g.y)
+    assert b.overflow.tolist() == [0, 0]
+    s = FakeSample(b, spec)
+    check_sample_invariants(g, s, seeds, fanouts)
+
+
+def test_native_deterministic_per_seed(small_graph):
+    g = small_graph
+    seeds = g.split_idx["train"][:64]
+    spec = BatchSpec.worst_case(64, [5, 5])
+    ns = NativeSampler(g.rowptr, g.col)
+    b1 = ns.sample(spec, seeds, rng_seed=99)
+    b2 = ns.sample(spec, seeds, rng_seed=99)
+    b3 = ns.sample(spec, seeds, rng_seed=100)
+    np.testing.assert_array_equal(b1.n_id, b2.n_id)
+    for e1, e2 in zip(b1.edges, b2.edges):
+        np.testing.assert_array_equal(e1.src, e2.src)
+        np.testing.assert_array_equal(e1.dst, e2.dst)
+    # different seed → different sample (overwhelmingly likely)
+    assert not np.array_equal(b1.n_id, b3.n_id)
+
+
+def test_native_overflow_counted(small_graph):
+    g = small_graph
+    seeds = g.split_idx["train"][:64]
+    spec = BatchSpec((8, 8), 64, (64, 200, 400), (256, 512))
+    ns = NativeSampler(g.rowptr, g.col)
+    b = ns.sample(spec, seeds, rng_seed=1)
+    assert int(b.level_sizes[1]) <= 200 and int(b.level_sizes[2]) <= 400
+    for e in b.edges:
+        assert int(e.count) <= len(e.src)
+    assert int(b.overflow.sum()) > 0
+
+
+def test_sampling_distribution_uniform(small_graph):
+    """Each neighbor of a high-degree node should be sampled ~uniformly."""
+    g = small_graph
+    degs = np.diff(g.rowptr)
+    u = int(np.argmax(degs))
+    deg = int(degs[u])
+    fanout = 5
+    spec = BatchSpec.worst_case(1, [fanout])
+    ns = NativeSampler(g.rowptr, g.col)
+    counts = np.zeros(deg)
+    trials = 3000
+    neigh = g.col[g.rowptr[u]:g.rowptr[u + 1]]
+    pos = {int(c): i for i, c in enumerate(neigh)}
+    for t in range(trials):
+        b = ns.sample(spec, np.array([u]), rng_seed=t * 2654435761 + 17)
+        eb = b.edges[0]
+        c = int(eb.count)
+        assert c == min(fanout, deg)
+        for s in b.n_id[1:1 + c]:
+            pass
+        for sidx in eb.src[:c]:
+            counts[pos[int(b.n_id[sidx])]] += 1
+    expected = trials * fanout / deg
+    # chi-square-ish sanity: all neighbors within 5 sigma of uniform
+    sigma = np.sqrt(expected)
+    assert np.all(np.abs(counts - expected) < 5 * sigma + 5)
+
+
+def test_gather_rows(small_graph):
+    g = small_graph
+    idx = np.array([5, 0, 17, 4999], np.int64)
+    out = gather_rows(np.ascontiguousarray(g.x), idx)
+    np.testing.assert_array_equal(out, g.x[idx])
+    idx32 = idx.astype(np.int32)
+    out32 = gather_rows(np.ascontiguousarray(g.x), idx32)
+    np.testing.assert_array_equal(out32, g.x[idx])

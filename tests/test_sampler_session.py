@@ -1,0 +1,95 @@
+import numpy as np
+
+from salient_plusplus_tpu.sampling import BatchSpec
+from salient_plusplus_tpu.sampling.sampler import (
+    FastSampler, FastSamplerConfig, batch_seed, split_seeds,
+)
+from salient_plusplus_tpu.sampling.shufflers import (
+    DistributedShuffler, FederatedDistributedShuffler, Shuffler,
+)
+
+
+def _mk_sampler(g, num_workers=3, exact=None):
+    spec = BatchSpec.worst_case(64, [5, 3])
+    cfg = FastSamplerConfig(spec=spec, batch_size=64, base_seed=42,
+                            num_workers=num_workers, max_batches_in_flight=4,
+                            exact_num_batches=exact)
+    return FastSampler(g.rowptr, g.col, g.y, cfg)
+
+
+def test_split_seeds_exact():
+    idx = np.arange(1000)
+    chunks = split_seeds(idx, 64, exact_num_batches=7)
+    assert len(chunks) == 7
+    sizes = [len(c) for c in chunks]
+    assert max(sizes) - min(sizes) <= 1
+    assert np.array_equal(np.concatenate(chunks), idx)
+
+
+def test_epoch_in_order_and_complete(small_graph):
+    g = small_graph
+    s = _mk_sampler(g)
+    idx = g.split_idx["train"][:500]
+    s.set_epoch(idx, epoch=0)
+    seen = []
+    it = iter(s)
+    assert len(it) == 8  # ceil(500/64)
+    for bufs in it:
+        b = bufs.to_padded_batch()
+        n = int(b.seed_count)
+        seen.append(b.n_id[:n].copy())
+        it.recycle(bufs)
+    assert sum(len(x) for x in seen) == 500
+    np.testing.assert_array_equal(np.concatenate(seen), idx)
+    assert it.stats.batches == 8
+
+
+def test_determinism_across_runs(small_graph):
+    g = small_graph
+    idx = g.split_idx["train"][:300]
+
+    def run(num_workers):
+        s = _mk_sampler(g, num_workers=num_workers)
+        s.set_epoch(idx, epoch=3)
+        out = []
+        it = iter(s)
+        for bufs in it:
+            b = bufs.to_padded_batch()
+            out.append((b.n_id.copy(),
+                        tuple(e.src.copy() for e in b.edges)))
+            it.recycle(bufs)
+        return out
+
+    r1, r2, r3 = run(1), (run(3)), run(4)
+    for a, b in zip(r1, r2):
+        np.testing.assert_array_equal(a[0], b[0])
+        for ea, eb in zip(a[1], b[1]):
+            np.testing.assert_array_equal(ea, eb)
+    for a, b in zip(r1, r3):
+        np.testing.assert_array_equal(a[0], b[0])
+
+
+def test_batch_seed_mixing():
+    seeds = {batch_seed(0, e, b) for e in range(10) for b in range(100)}
+    assert len(seeds) == 1000
+
+
+def test_distributed_shuffler_consistency():
+    idx = np.arange(997)
+    shufs = [DistributedShuffler(idx, world_size=4, rank=r) for r in range(4)]
+    parts = [s.get_idx(epoch=5) for s in shufs]
+    merged = np.concatenate(parts)
+    assert len(merged) == 997
+    assert np.array_equal(np.sort(merged), idx)
+    # same epoch → same global perm; different epoch differs
+    again = [s.get_idx(epoch=5) for s in shufs]
+    for a, b in zip(parts, again):
+        np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(shufs[0].get_idx(6), parts[0])
+
+
+def test_federated_shuffler():
+    local = np.arange(100, 200)
+    s = FederatedDistributedShuffler(local)
+    out = s.get_idx(0)
+    assert np.array_equal(np.sort(out), local)
