@@ -1,0 +1,91 @@
+"""Masked segment ops over padded edge lists.
+
+The aggregation primitives behind every GNN conv in this framework: a hop's
+padded COO (EdgeBlock) is reduced target-wise with the padding masked via
+iota-vs-count comparison — the static-shape equivalent of the dynamic
+SpMM/scatter the reference delegates to PyG/torch_scatter. All ops are pure
+jnp (XLA scatter/segment lowering); the Pallas fused gather-aggregate kernel
+(ops/pallas_aggregate.py) plugs in behind the same signatures.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def valid_mask(length: int, count) -> jnp.ndarray:
+    """[length] bool: True for slots < count. TPU-safe (2D iota internally)."""
+    return jax.lax.broadcasted_iota(jnp.int32, (length,), 0) < count
+
+
+def gather_rows(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Row gather x[idx] — isolated so the Pallas path can swap in."""
+    return jnp.take(x, idx, axis=0)
+
+
+def masked_segment_sum(values: jnp.ndarray, dst: jnp.ndarray, count,
+                       num_segments: int) -> jnp.ndarray:
+    """Scatter-add values[e] into out[dst[e]] for real edges (e < count).
+
+    values: [E, F] (or [E]); dst: int32 [E]; count: scalar actual edge count.
+    Padded edges are routed to segment `num_segments` (an extra dropped row)
+    instead of multiplied by a mask — one comparison + where on int indices
+    is cheaper than masking the [E, F] payload.
+    """
+    mask = valid_mask(dst.shape[0], count)
+    safe_dst = jnp.where(mask, dst, num_segments)
+    out = jax.ops.segment_sum(values, safe_dst, num_segments=num_segments + 1)
+    return out[:num_segments]
+
+
+def masked_segment_mean(values: jnp.ndarray, dst: jnp.ndarray, count,
+                        num_segments: int) -> jnp.ndarray:
+    """Mean aggregation; zero for targets with no edges (PyG mean semantics)."""
+    mask = valid_mask(dst.shape[0], count)
+    safe_dst = jnp.where(mask, dst, num_segments)
+    ones = mask.astype(values.dtype)
+    deg = jax.ops.segment_sum(ones, safe_dst, num_segments=num_segments + 1)
+    s = jax.ops.segment_sum(values, safe_dst, num_segments=num_segments + 1)
+    deg = jnp.maximum(deg, 1)
+    if values.ndim > 1:
+        deg = deg[:, None]
+    return (s / deg)[:num_segments]
+
+
+def masked_segment_max(values: jnp.ndarray, dst: jnp.ndarray, count,
+                       num_segments: int, neutral=None) -> jnp.ndarray:
+    """Max aggregation; targets with no edges get `neutral` (default 0)."""
+    mask = valid_mask(dst.shape[0], count)
+    safe_dst = jnp.where(mask, dst, num_segments)
+    out = jax.ops.segment_max(values, safe_dst, num_segments=num_segments + 1)
+    has_edge = jax.ops.segment_sum(
+        mask.astype(jnp.int32), safe_dst, num_segments=num_segments + 1)
+    fill = jnp.asarray(0 if neutral is None else neutral, values.dtype)
+    cond = has_edge > 0
+    if values.ndim > 1:
+        cond = cond[:, None]
+    return jnp.where(cond, out, fill)[:num_segments]
+
+
+def masked_segment_softmax(logits: jnp.ndarray, dst: jnp.ndarray, count,
+                           num_segments: int) -> jnp.ndarray:
+    """Per-target softmax over incoming edges (GAT attention).
+
+    logits: [E] or [E, H]; returns same shape with padded edges = 0.
+    Numerically stable via segment max subtraction; empty segments are
+    guarded against inf/NaN.
+    """
+    mask = valid_mask(dst.shape[0], count)
+    safe_dst = jnp.where(mask, dst, num_segments)
+    neg = jnp.asarray(jnp.finfo(logits.dtype).min, logits.dtype)
+    masked_logits = jnp.where(
+        mask if logits.ndim == 1 else mask[:, None], logits, neg)
+    seg_max = jax.ops.segment_max(masked_logits, safe_dst,
+                                  num_segments=num_segments + 1)
+    seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0)
+    ex = jnp.exp(masked_logits - seg_max[safe_dst])
+    ex = jnp.where(mask if logits.ndim == 1 else mask[:, None], ex, 0)
+    denom = jax.ops.segment_sum(ex, safe_dst, num_segments=num_segments + 1)
+    denom = jnp.maximum(denom, jnp.asarray(1e-16, logits.dtype))
+    return ex / denom[safe_dst]

@@ -97,7 +97,12 @@ class EdgeBlock(struct.PyTreeNode):
 
 
 class PaddedBatch(struct.PyTreeNode):
-    """A fully-prepared, fixed-shape mini-batch (host numpy or device jnp)."""
+    """A fully-prepared, fixed-shape mini-batch (host numpy or device jnp).
+
+    ``spec`` is static pytree metadata (part of the treedef): batches from
+    the same bucket share a treedef, so jitted consumers compile once per
+    bucket and can read capacities as Python ints.
+    """
 
     n_id: "np.ndarray"          # int32 [node_caps[-1]] global ids, padded with 0
     level_sizes: "np.ndarray"   # int32 [L+1]
@@ -105,10 +110,16 @@ class PaddedBatch(struct.PyTreeNode):
     y: "np.ndarray"             # int32 [seed_cap]
     seed_count: "np.ndarray"    # int32 []
     overflow: "np.ndarray"      # int32 [2] — (dropped_nodes, dropped_edges)
+    spec: BatchSpec = struct.field(pytree_node=False, default=None)
 
     @property
     def num_layers(self) -> int:
         return len(self.edges)
+
+    def layer_caps(self, i: int) -> Tuple[int, int]:
+        """(input_rows_cap, output_rows_cap) for model layer i (static)."""
+        L = len(self.edges)
+        return self.spec.node_caps[L - i], self.spec.node_caps[L - i - 1]
 
     def num_real_edges(self) -> int:
         return int(sum(int(e.count) for e in self.edges))
@@ -135,4 +146,5 @@ def batch_shape_dtypes(spec: BatchSpec):
         y=sd((spec.seed_cap,)),
         seed_count=sd(()),
         overflow=sd((2,)),
+        spec=spec,
     )

@@ -92,6 +92,7 @@ class BatchBuffers:
         return PaddedBatch(
             n_id=self.n_id, level_sizes=self.level_sizes, edges=edges,
             y=self.y, seed_count=self.seed_count, overflow=self.overflow,
+            spec=spec,
         )
 
 

@@ -131,4 +131,5 @@ def pad_sample(sample: SampleResult, spec: BatchSpec,
         y=y,
         seed_count=np.int32(seed_count),
         overflow=np.asarray([sample.dropped_nodes, sample.dropped_edges], np.int32),
+        spec=spec,
     )

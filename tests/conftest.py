@@ -8,13 +8,20 @@ Must run before jax initializes — pytest imports conftest first.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must happen before any backend initialization. The image's sitecustomize
+# registers the remote-TPU "axon" platform and forces JAX_PLATFORMS=axon;
+# an env override is ignored, so the platform is reset via jax.config below.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,62 @@
+import jax.numpy as jnp
+import numpy as np
+
+from salient_plusplus_tpu.ops import (
+    masked_segment_max, masked_segment_mean, masked_segment_softmax,
+    masked_segment_sum, valid_mask,
+)
+
+
+def test_valid_mask():
+    m = np.asarray(valid_mask(6, jnp.int32(4)))
+    assert m.tolist() == [True, True, True, True, False, False]
+
+
+def test_masked_segment_sum():
+    vals = jnp.asarray(np.arange(12, dtype=np.float32).reshape(6, 2))
+    dst = jnp.asarray([0, 0, 2, 1, 0, 0], jnp.int32)  # last two are padding
+    out = np.asarray(masked_segment_sum(vals, dst, jnp.int32(4), 3))
+    expect = np.zeros((3, 2), np.float32)
+    expect[0] = [0 + 2, 1 + 3]
+    expect[2] = [4, 5]
+    expect[1] = [6, 7]
+    np.testing.assert_allclose(out, expect)
+
+
+def test_masked_segment_mean_empty_target():
+    vals = jnp.asarray([[2.0], [4.0], [100.0]])
+    dst = jnp.asarray([1, 1, 0], jnp.int32)
+    out = np.asarray(masked_segment_mean(vals, dst, jnp.int32(2), 3))
+    np.testing.assert_allclose(out, [[0.0], [3.0], [0.0]])
+
+
+def test_masked_segment_max():
+    vals = jnp.asarray([1.0, -5.0, 3.0, 99.0])
+    dst = jnp.asarray([0, 0, 1, 1], jnp.int32)
+    out = np.asarray(masked_segment_max(vals, dst, jnp.int32(3), 2))
+    np.testing.assert_allclose(out, [1.0, 3.0])
+
+
+def test_masked_segment_softmax():
+    logits = jnp.asarray([1.0, 2.0, 3.0, 50.0])
+    dst = jnp.asarray([0, 0, 1, 0], jnp.int32)  # edge 3 padded
+    att = np.asarray(masked_segment_softmax(logits, dst, jnp.int32(3), 3))
+    e = np.exp([1.0, 2.0])
+    np.testing.assert_allclose(att[:2], e / e.sum(), rtol=1e-6)
+    np.testing.assert_allclose(att[2], 1.0, rtol=1e-6)
+    assert att[3] == 0.0
+    # empty segment (target 2) produced no NaNs anywhere
+    assert np.isfinite(att).all()
+
+
+def test_segment_softmax_multihead():
+    logits = jnp.asarray(np.random.default_rng(0).normal(size=(8, 2)),
+                         jnp.float32)
+    dst = jnp.asarray([0, 1, 0, 1, 2, 2, 0, 0], jnp.int32)
+    att = np.asarray(masked_segment_softmax(logits, dst, jnp.int32(6), 3))
+    # per-(target, head) sums = 1 for targets with real edges
+    sums = np.zeros((3, 2))
+    for e in range(6):
+        sums[dst[e]] += att[e]
+    np.testing.assert_allclose(sums, 1.0, rtol=1e-5)
+    assert np.all(att[6:] == 0)
