@@ -1,0 +1,79 @@
+"""Checkpoint / resume via Orbax.
+
+Extends the reference's model-only best-checkpointing
+(driver/main.py:201-211: state_dict + metadata.txt) to full train state
+(params, optimizer moments, BN stats, PRNG key, step/epoch) so training can
+actually resume — the gap called out in SURVEY.md §5.4. Metadata lines are
+kept reference-compatible (``epoch,acc`` appended per improvement).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from .state import TrainState
+
+
+def _ckpt_path(directory: str, trial: int, epoch: int) -> str:
+    return os.path.join(os.path.abspath(directory),
+                        f"model_{trial}_{epoch}")
+
+
+def save(directory: str, state: TrainState, trial: int, epoch: int,
+         acc: Optional[float] = None) -> str:
+    os.makedirs(directory, exist_ok=True)
+    path = _ckpt_path(directory, trial, epoch)
+    with ocp.StandardCheckpointer() as saver:
+        saver.save(path, _saveable(state), force=True)
+    if acc is not None:
+        with open(os.path.join(directory, "metadata.txt"), "a") as f:
+            f.write(f"{epoch},{acc}\n")
+    return path
+
+
+def _saveable(state: TrainState):
+    return {
+        "step": state.step,
+        "epoch": state.epoch,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "dropout_key": jax.random.key_data(state.dropout_key),
+    }
+
+
+def restore(directory: str, state: TrainState, trial: int,
+            epoch: int) -> TrainState:
+    """Restore into a template state (shapes/treedef must match)."""
+    path = _ckpt_path(directory, trial, epoch)
+    template = _saveable(state)
+    with ocp.StandardCheckpointer() as saver:
+        restored = saver.restore(path, template)
+    return state.replace(
+        step=restored["step"],
+        epoch=restored["epoch"],
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"],
+        dropout_key=jax.random.wrap_key_data(restored["dropout_key"]),
+    )
+
+
+def best_epoch(directory: str, trial: int = 0) -> Optional[int]:
+    """Parse metadata.txt for the best-acc epoch (reference reads it the
+    same way for its final-inference reload, driver/main.py:220-235)."""
+    meta = os.path.join(directory, "metadata.txt")
+    if not os.path.exists(meta):
+        return None
+    best, best_acc = None, -1.0
+    with open(meta) as f:
+        for line in f:
+            e, a = line.strip().split(",")
+            if float(a) > best_acc:
+                best, best_acc = int(e), float(a)
+    return best

@@ -1,0 +1,220 @@
+"""Single-host training driver: epoch loop, eval, best-model tracking.
+
+The TPU-native BaseDriver/run_driver core (reference:
+driver/drivers/base.py:298-424 train loop, :440-525 batchwise_test;
+driver/main.py:188-245 epoch/validation/checkpoint loop). SPMD distributed
+drivers build on this in parallel/spmd.py.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RunConfig
+from ..data.dataset import GraphData
+from ..models import make_model
+from ..sampling.batch import BatchSpec
+from ..sampling.cpp import NativeSampler
+from ..sampling.sampler import FastSampler, FastSamplerConfig
+from ..sampling.shufflers import Shuffler
+from ..utils.logging import RunLogger
+from ..utils.timing import RuntimeStats
+from .pipeline import DeviceFeeder
+from .state import TrainState, create_train_state
+from .step import make_eval_step, make_train_step
+
+
+def calibrate_spec(native: NativeSampler, seeds_pool: np.ndarray,
+                   batch_size: int, fanouts, num_batches: int = 8,
+                   safety: float = 1.3, seed: int = 1234) -> BatchSpec:
+    """Measure frontier/edge sizes over sample batches → padded bucket.
+
+    The static-shape price of XLA (SURVEY.md §7 "hard parts"): capacities
+    are set to max-observed × safety, rounded to 128; the sampler counts
+    overflow drops so miscalibration is observable, not silent.
+    """
+    L = len(fanouts)
+    # generous scratch spec for measurement
+    caps = [batch_size]
+    for f in fanouts:
+        caps.append(min(caps[-1] * (abs(f) + 1) + 1024,
+                        native.rowptr.shape[0] - 1 + 1024))
+    probe = BatchSpec(tuple(fanouts), batch_size, tuple(caps),
+                      tuple(max(1024, caps[i] * max(abs(fanouts[i]), 1))
+                            for i in range(L)))
+    rng = np.random.default_rng(seed)
+    ls_max = np.zeros(L + 1, np.int64)
+    ec_max = np.zeros(L, np.int64)
+    for i in range(num_batches):
+        take = min(batch_size, len(seeds_pool))
+        seeds = rng.choice(seeds_pool, size=take, replace=False)
+        b = native.sample(probe, np.sort(seeds), rng_seed=seed + i)
+        ls_max = np.maximum(ls_max, b.level_sizes)
+        ec_max = np.maximum(
+            ec_max, [int(e.count) for e in reversed(b.edges)])
+    return BatchSpec.from_measurements(batch_size, fanouts, ls_max, ec_max,
+                                       safety=safety)
+
+
+@dataclass
+class TrialResult:
+    best_epoch: int = -1
+    best_valid_acc: float = 0.0
+    final_valid_acc: float = 0.0
+    final_test_acc: float = 0.0
+    epoch_times: List[float] = field(default_factory=list)
+    losses: List[float] = field(default_factory=list)
+
+
+class Trainer:
+    """Single-host trainer over one GraphData."""
+
+    def __init__(self, cfg: RunConfig, graph: GraphData,
+                 logger: Optional[RunLogger] = None, device=None):
+        self.cfg = cfg
+        self.graph = graph
+        self.logger = logger or RunLogger()
+        self.stats = RuntimeStats()
+        self.device = device or jax.devices()[0]
+
+        self.native = NativeSampler(np.asarray(graph.rowptr, np.int64),
+                                    np.asarray(graph.col, np.int32))
+        train_idx = graph.split_idx["train"]
+        self.train_spec = calibrate_spec(
+            self.native, train_idx, cfg.train_batch_size, cfg.train_fanouts,
+            cfg.calibration_batches, cfg.spec_safety, cfg.seed)
+        self.eval_specs: Dict[str, BatchSpec] = {}
+
+        self.train_sampler = FastSampler(
+            self.native.rowptr, self.native.col,
+            np.asarray(graph.y, np.int32),
+            FastSamplerConfig(
+                spec=self.train_spec, batch_size=cfg.train_batch_size,
+                base_seed=cfg.seed, num_workers=cfg.num_workers,
+                max_batches_in_flight=cfg.max_batches_in_flight))
+        self.shuffler = Shuffler(train_idx, initial_seed=cfg.seed + 2**31 - 1)
+
+        # features resident in HBM, bf16 (the x_gpu analog at
+        # hbm_fraction=1.0, driver/drivers/base.py:107-116)
+        self.features = jax.device_put(
+            jnp.asarray(np.asarray(graph.x), jnp.bfloat16), self.device)
+
+        self.model = make_model(
+            cfg.model_name, graph.num_features, cfg.hidden_features,
+            graph.num_classes, cfg.num_layers, cfg.dropout)
+        self.train_step = make_train_step()
+        self.eval_step = make_eval_step()
+        self.state: Optional[TrainState] = None
+        self.reset()
+
+    def reset(self, trial_seed: int = 0):
+        """Fresh params + optimizer (per-trial reset,
+        driver/drivers/base.py:258-263)."""
+        ex_seeds = self.graph.split_idx["train"][: self.cfg.train_batch_size]
+        ex = self.native.sample(self.train_spec, ex_seeds,
+                                rng_seed=7, y_global=None)
+        ex = jax.device_put(ex, self.device)
+        ex_x = self.features[ex.n_id]
+        self.state = create_train_state(
+            self.model, ex_x, ex, self.cfg.lr,
+            seed=self.cfg.seed + trial_seed)
+
+    def train_epoch(self, epoch: int) -> float:
+        cfg = self.cfg
+        self.train_sampler.set_epoch(self.shuffler.get_idx(epoch), epoch)
+        it = iter(self.train_sampler)
+        feeder = DeviceFeeder(it, sharding=self.device,
+                              depth=max(2, cfg.max_batches_in_flight // 2),
+                              pipelined=not cfg.pipeline_disabled)
+        losses = []
+        with self.stats.region("train_epoch"):
+            for batch in feeder:
+                self.state, loss = self.train_step(
+                    self.state, self.features, batch)
+                losses.append(loss)
+            # drain async dispatch before closing the region
+            jax.block_until_ready(self.state.params)
+        self.stats.add("feed_starved", feeder.starved_dur)
+        self.stats.add("sampler_blocked", it.stats.total_blocked_dur)
+        self.stats.end_epoch()
+        if it.stats.dropped_nodes or it.stats.dropped_edges:
+            self.logger.log("SAMPLER_OVERFLOW", epoch,
+                            it.stats.dropped_nodes, it.stats.dropped_edges)
+        mean_loss = float(np.mean([float(l) for l in losses]))
+        self.logger.log("epoch", epoch, "loss", mean_loss,
+                        "sampler_blocked", round(it.stats.total_blocked_dur, 4))
+        return mean_loss
+
+    def _eval_sampler(self, split: str) -> FastSampler:
+        cfg = self.cfg
+        fanouts = (cfg.final_test_fanouts if split == "test"
+                   else cfg.batchwise_test_fanouts)
+        key = (split, tuple(fanouts))
+        if key not in self.eval_specs:
+            self.eval_specs[key] = calibrate_spec(
+                self.native, self.graph.split_idx[split],
+                cfg.test_batch_size, fanouts,
+                cfg.calibration_batches, cfg.spec_safety, cfg.seed + 99)
+        spec = self.eval_specs[key]
+        return FastSampler(
+            self.native.rowptr, self.native.col,
+            np.asarray(self.graph.y, np.int32),
+            FastSamplerConfig(
+                spec=spec, batch_size=cfg.test_batch_size,
+                base_seed=cfg.seed + 7, num_workers=cfg.num_workers,
+                max_batches_in_flight=cfg.max_batches_in_flight),
+            idx=self.graph.split_idx[split])
+
+    def evaluate(self, split: str) -> float:
+        """Batchwise accuracy on a split (base.py:440-525 analog)."""
+        sampler = self._eval_sampler(split)
+        sampler.set_epoch(self.graph.split_idx[split], 0)
+        it = iter(sampler)
+        feeder = DeviceFeeder(it, sharding=self.device, depth=2)
+        correct = total = 0
+        for batch in feeder:
+            c, t = self.eval_step(self.state, self.features, batch)
+            correct += int(c)
+            total += int(t)
+        return correct / max(total, 1)
+
+    def run_trial(self, trial: int = 0,
+                  checkpoint_dir: Optional[str] = None) -> TrialResult:
+        """Epoch loop with best-validation tracking (driver/main.py:188-245)."""
+        from . import checkpoint as ckpt
+
+        cfg = self.cfg
+        self.reset(trial_seed=trial)
+        res = TrialResult()
+        best_state = None
+        for epoch in range(cfg.epochs):
+            t0 = time.perf_counter()
+            loss = self.train_epoch(epoch)
+            res.epoch_times.append(time.perf_counter() - t0)
+            res.losses.append(loss)
+            if (epoch + 1) % cfg.test_epoch_frequency == 0:
+                acc = self.evaluate("valid")
+                self.logger.log("valid_acc", epoch, acc)
+                if acc > res.best_valid_acc:
+                    res.best_valid_acc = acc
+                    res.best_epoch = epoch
+                    best_state = jax.tree_util.tree_map(
+                        np.asarray, (self.state.params, self.state.batch_stats))
+                    if checkpoint_dir:
+                        ckpt.save(checkpoint_dir, self.state,
+                                  trial=trial, epoch=epoch, acc=acc)
+        if best_state is not None:
+            params, batch_stats = best_state
+            self.state = self.state.replace(params=params,
+                                            batch_stats=batch_stats)
+        res.final_valid_acc = self.evaluate("valid")
+        res.final_test_acc = self.evaluate("test")
+        self.logger.log("trial_result", trial, res.best_epoch,
+                        res.final_valid_acc, res.final_test_acc)
+        return res

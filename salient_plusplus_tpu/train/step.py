@@ -1,0 +1,91 @@
+"""Jitted train/eval step builders (single-device and SPMD variants).
+
+The reference's barebones_train_core (fast_trainer/train.py:15-71: forward →
+nll_loss → backward → Adam step) becomes one fused XLA program that also
+contains the feature gather — the reference's separate CPU slicing + H2D
+stage (fast_sampler.cpp:238-308) is a device gather here, fused and
+overlapped by XLA.
+
+Masked-loss convention: model output is [seed_cap, C] log-probs; only rows
+< seed_count are real. Loss = mean NLL over real rows (matches
+F.nll_loss(out, y) on dynamic batches).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.segment import valid_mask
+from ..sampling.batch import PaddedBatch
+from .state import TrainState
+
+
+def masked_nll(logp: jnp.ndarray, y: jnp.ndarray, seed_count) -> jnp.ndarray:
+    cap = logp.shape[0]
+    mask = valid_mask(cap, seed_count).astype(jnp.float32)
+    nll = -jnp.take_along_axis(logp, y[:, None].astype(jnp.int32), axis=-1)[:, 0]
+    return (nll * mask).sum() / jnp.maximum(seed_count.astype(jnp.float32), 1)
+
+
+def make_train_step(pmean_axis: Optional[str] = None):
+    """Build the jitted train step.
+
+    With ``pmean_axis`` set the step is shard_map/pmap-ready: grads and loss
+    are averaged over that axis (the DDP all-reduce analog,
+    driver/drivers/ddp.py:349-351).
+    """
+
+    def train_step(state: TrainState, features: jnp.ndarray,
+                   batch: PaddedBatch):
+        key = jax.random.fold_in(state.dropout_key, state.step)
+
+        def loss_fn(params):
+            x = features[batch.n_id]
+            vars_in = {"params": params, "batch_stats": state.batch_stats}
+            out, updates = state.apply_fn(
+                vars_in, x, batch, training=True,
+                rngs={"dropout": key}, mutable=["batch_stats"])
+            loss = masked_nll(out, batch.y, batch.seed_count)
+            return loss, updates.get("batch_stats", state.batch_stats)
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        if pmean_axis is not None:
+            grads = jax.lax.pmean(grads, pmean_axis)
+            loss = jax.lax.pmean(loss, pmean_axis)
+            new_stats = jax.lax.pmean(new_stats, pmean_axis)
+        state = state.apply_gradients(grads, new_batch_stats=new_stats)
+        return state, loss
+
+    if pmean_axis is None:
+        return jax.jit(train_step, donate_argnums=(0,))
+    return train_step  # caller wraps in shard_map/pjit
+
+
+def make_eval_step(psum_axis: Optional[str] = None):
+    """Batchwise eval: (correct, total) over seed rows — the reference's
+    batchwise_test core (fast_trainer/test.py:8-33), cross-rank reduction
+    included when ``psum_axis`` is given (driver/drivers/base.py:517-523)."""
+
+    def eval_step(state: TrainState, features: jnp.ndarray,
+                  batch: PaddedBatch):
+        x = features[batch.n_id]
+        out = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x, batch, training=False)
+        pred = out.argmax(-1).astype(jnp.int32)
+        mask = valid_mask(out.shape[0], batch.seed_count)
+        correct = jnp.where(mask, pred == batch.y, False).sum()
+        total = batch.seed_count.astype(jnp.int32)
+        if psum_axis is not None:
+            correct = jax.lax.psum(correct, psum_axis)
+            total = jax.lax.psum(total, psum_axis)
+        return correct, total
+
+    if psum_axis is None:
+        return jax.jit(eval_step)
+    return eval_step
