@@ -1,0 +1,149 @@
+"""On-device distributed feature assembly (partitioned features).
+
+The heart of the SALIENT++ capability set, re-architected for XLA. The
+reference assembles distributed batches on the host (fast_sampler.cpp:
+1017-1273: split frontier by owner, cache-hit separation, inverse
+permutation ``perm_partition_to_mfg``) and runs three dynamic NCCL
+all_to_alls (counts → ids → rows) across a 10-stage stream pipeline
+(fast_trainer/transferers.py). Here the whole assembly is pure tensor code
+inside the jitted shard_map step:
+
+  1. owner[i]   = searchsorted(part_offsets, n_id[i])    (RangePartitionBook)
+  2. class[i]   ∈ {local, cached, remote}                (cache = sorted ids)
+  3. remote ids are packed per-owner into a static [world, R_cap] request
+     matrix via one argsort (the meta/counts all_to_all of the reference
+     disappears — shapes are static)
+  4. one lax.all_to_all of ids, local gather for each requester, one
+     lax.all_to_all of rows
+  5. responses scatter back to frontier order through the inverse of the
+     packing permutation (perm_partition_to_mfg equivalent); local rows and
+     cache hits gather directly from HBM.
+
+Per-destination overflow beyond R_cap is counted and those rows fall back
+to zeros (observable via stats; calibrate R_cap like batch caps).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class DeviceCache(NamedTuple):
+    """Per-device VIP cache: sorted remote vertex ids + their feature rows
+    (the reference's Cache, range_partition_book.cpp:116-195 — membership
+    via binary search instead of a 200M-entry flat array)."""
+
+    vertices: jnp.ndarray   # int32 [C] sorted global ids (padded with -1 desc? no: use INT32_MAX)
+    features: jnp.ndarray   # [C, F]
+
+
+class ExchangeStats(NamedTuple):
+    num_local: jnp.ndarray
+    num_cached: jnp.ndarray
+    num_remote: jnp.ndarray
+    num_overflow: jnp.ndarray
+    sent_bytes: jnp.ndarray  # feature payload sent by this device
+
+
+def sorted_isin(sorted_ref: jnp.ndarray, ids: jnp.ndarray
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(membership mask, position) of ids in a sorted reference array."""
+    pos = jnp.searchsorted(sorted_ref, ids)
+    pos = jnp.clip(pos, 0, sorted_ref.shape[0] - 1)
+    hit = sorted_ref[pos] == ids
+    return hit, pos
+
+
+def assemble_features(
+    local_shard: jnp.ndarray,     # [V_local_pad, F] this device's rows
+    n_id: jnp.ndarray,            # int32 [N_cap] global frontier ids
+    frontier_count,               # scalar — actual frontier size
+    part_offsets: jnp.ndarray,    # int32/int64 [world+1]
+    axis_name: str,
+    r_cap: int,                   # static per-destination request budget
+    cache: Optional[DeviceCache] = None,
+) -> Tuple[jnp.ndarray, ExchangeStats]:
+    N_cap = n_id.shape[0]
+    F = local_shard.shape[1]
+    world = part_offsets.shape[0] - 1
+    my = jax.lax.axis_index(axis_name)
+    my_off = part_offsets[my]
+
+    idx = jax.lax.broadcasted_iota(jnp.int32, (N_cap,), 0)
+    valid = idx < frontier_count
+    owner = jnp.searchsorted(part_offsets[1:], n_id, side="right"
+                             ).astype(jnp.int32)
+    is_local = (owner == my) & valid
+    if cache is not None:
+        hit, cache_pos = sorted_isin(cache.vertices, n_id)
+        is_cached = hit & valid & ~is_local
+    else:
+        is_cached = jnp.zeros_like(valid)
+        cache_pos = jnp.zeros_like(idx)
+    is_remote = valid & ~is_local & ~is_cached
+
+    # ---- pack remote ids per destination (one argsort) ----
+    dest = jnp.where(is_remote, owner, world)          # non-remote sorts last
+    # int32 is ample: dest·(N_cap+1) ≤ world·N_cap ≪ 2^31 for real configs
+    sort_key = dest * (N_cap + 1) + idx
+    order = jnp.argsort(sort_key)                       # stable by construction
+    dest_sorted = dest[order]
+    counts = jax.ops.segment_sum(jnp.ones_like(dest), dest,
+                                 num_segments=world + 1)[:world]
+    start = jnp.concatenate([jnp.zeros(1, counts.dtype),
+                             jnp.cumsum(counts)[:-1]])
+    pos_sorted = idx - jnp.take(start, jnp.minimum(dest_sorted, world - 1))
+    # slot in the flat [world*R_cap] request buffer for each sorted entry
+    in_bounds = (dest_sorted < world) & (pos_sorted < r_cap)
+    flat_slot_sorted = jnp.where(
+        in_bounds, dest_sorted * r_cap + pos_sorted, world * r_cap)
+    req_flat = jnp.full(world * r_cap + 1, -1, jnp.int32)
+    req_flat = req_flat.at[flat_slot_sorted].set(
+        jnp.where(in_bounds, n_id[order].astype(jnp.int32), -1))
+    req = req_flat[:-1].reshape(world, r_cap)
+    # inverse mapping: frontier slot -> flat response index
+    resp_slot = jnp.full(N_cap, world * r_cap, jnp.int32)
+    resp_slot = resp_slot.at[order].set(flat_slot_sorted)
+    num_overflow = (is_remote.sum()
+                    - (in_bounds & (dest_sorted < world)).sum())
+
+    # ---- id exchange ----
+    req_recv = jax.lax.all_to_all(req, axis_name, split_axis=0,
+                                  concat_axis=0, tiled=True)
+    # ---- serve: gather my local rows for each requester ----
+    lrows = (req_recv.astype(part_offsets.dtype) - my_off).astype(jnp.int32)
+    serve_valid = req_recv >= 0
+    lrows = jnp.clip(lrows, 0, local_shard.shape[0] - 1)
+    served = jnp.take(local_shard, lrows.reshape(-1), axis=0)
+    served = jnp.where(serve_valid.reshape(-1)[:, None], served, 0)
+    served = served.reshape(world, r_cap, F)
+    # ---- row exchange back ----
+    resp = jax.lax.all_to_all(served, axis_name, split_axis=0,
+                              concat_axis=0, tiled=True)
+    resp_flat = jnp.concatenate(
+        [resp.reshape(world * r_cap, F),
+         jnp.zeros((1, F), local_shard.dtype)], axis=0)
+
+    # ---- final frontier assembly ----
+    local_rows = jnp.clip((n_id.astype(part_offsets.dtype) - my_off
+                           ).astype(jnp.int32), 0, local_shard.shape[0] - 1)
+    x_local = jnp.take(local_shard, local_rows, axis=0)
+    x_remote = jnp.take(resp_flat, resp_slot, axis=0)
+    x = jnp.where(is_local[:, None], x_local, x_remote)
+    if cache is not None:
+        x_cache = jnp.take(cache.features, cache_pos, axis=0)
+        x = jnp.where(is_cached[:, None], x_cache, x)
+    x = jnp.where(valid[:, None], x, 0)
+
+    bytes_per_row = F * jnp.dtype(local_shard.dtype).itemsize
+    stats = ExchangeStats(
+        num_local=is_local.sum(),
+        num_cached=is_cached.sum(),
+        num_remote=is_remote.sum(),
+        num_overflow=num_overflow,
+        sent_bytes=serve_valid.sum() * bytes_per_row,
+    )
+    return x, stats
