@@ -1,0 +1,85 @@
+"""Benchmark: steady-state training throughput (edges/s/chip).
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: edges sampled+aggregated per second per chip while training the
+default experiment shape (3-layer SAGE, hidden 256, batch 1024, fanout
+[15,10,5] — the reference's defaults, driver/parser.py:44-86) on an
+ogbn-products-scale synthetic graph (no network egress → no OGB download).
+
+vs_baseline: ratio against 45M edges/s/GPU — the throughput implied by the
+SALIENT paper's ~2s ogbn-products epochs on one V100 (arXiv 2110.08450;
+products ≈ 90M sampled edges/epoch at these fanouts). The reference repo
+itself publishes no in-tree numbers (BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_EDGES_PER_S = 45e6
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from salient_plusplus_tpu.config import RunConfig
+    from salient_plusplus_tpu.data import synthetic
+    from salient_plusplus_tpu.train.loop import Trainer
+
+    num_nodes = int(os.environ.get("BENCH_NUM_NODES", 1_000_000))
+    steps = int(os.environ.get("BENCH_STEPS", 30))
+    warmup = int(os.environ.get("BENCH_WARMUP", 5))
+
+    g = synthetic.powerlaw_graph(
+        name="bench-products", num_nodes=num_nodes, avg_degree=15,
+        num_features=100, num_classes=47, seed=0)
+
+    cfg = RunConfig(
+        train_batch_size=1024, train_fanouts=[15, 10, 5],
+        hidden_features=256, num_layers=3, lr=0.003,
+        num_workers=max(2, (os.cpu_count() or 4) - 1),
+        max_batches_in_flight=8, calibration_batches=6,
+    )
+    trainer = Trainer(cfg, g)
+
+    # one epoch-like run, timing steady-state steps
+    idx = trainer.shuffler.get_idx(0)
+    need = (steps + warmup + 2) * cfg.train_batch_size
+    trainer.train_sampler.set_epoch(idx[:need], 0)
+    it = iter(trainer.train_sampler)
+    from salient_plusplus_tpu.train.pipeline import DeviceFeeder
+
+    feeder = DeviceFeeder(it, sharding=trainer.device, depth=4)
+    edges = 0
+    n = 0
+    t0 = None
+    for batch in feeder:
+        if n == warmup:
+            jax.block_until_ready(trainer.state.params)
+            t0 = time.perf_counter()
+            edges = 0
+        trainer.state, loss = trainer.train_step(
+            trainer.state, trainer.features, batch)
+        edges += int(np.asarray(batch.overflow)[0] * 0  # keep leaf use simple
+                     + sum(int(np.asarray(e.count)) for e in batch.edges))
+        n += 1
+        if n >= warmup + steps:
+            break
+    jax.block_until_ready(trainer.state.params)
+    dt = time.perf_counter() - t0
+    eps = edges / dt
+    print(json.dumps({
+        "metric": "train_edges_per_s_per_chip",
+        "value": round(eps, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(eps / BASELINE_EDGES_PER_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
