@@ -1,0 +1,112 @@
+import numpy as np
+import pytest
+
+from salient_plusplus_tpu.caching import vip_analytical
+from salient_plusplus_tpu.data.partition_book import RangePartitionBook
+from salient_plusplus_tpu.data.reorder import reorder_and_save, reorder_graph
+from salient_plusplus_tpu.data.dataset import PartitionedGraphData
+from salient_plusplus_tpu.partition import (
+    contiguous_partition, get_4d_node_weights, multiconstraint_partition,
+    partition_quality, random_partition,
+)
+
+
+def test_partitioner_beats_random(small_graph):
+    g = small_graph
+    k = 4
+    w = get_4d_node_weights(g.num_nodes, g.rowptr,
+                            g.split_idx["train"], g.split_idx["valid"])
+    labels = multiconstraint_partition(g.rowptr, g.col, k, w, seed=0)
+    assert labels.shape == (g.num_nodes,)
+    assert set(np.unique(labels)) == set(range(k))
+    q = partition_quality(g.rowptr, g.col, labels, w)
+    q_rand = partition_quality(g.rowptr, g.col,
+                               random_partition(g.num_nodes, k), w)
+    # locality-aware partitioning must cut far fewer edges than random
+    assert q["cut_fraction"] < 0.8 * q_rand["cut_fraction"], (q, q_rand)
+    # all four constraints balanced within slack
+    assert q["max_imbalance"] < 1.35, q
+
+
+def test_reorder_contiguity_and_vip_prefix(small_graph):
+    g = small_graph
+    k = 4
+    labels = contiguous_partition(g.num_nodes, k)
+    # shuffle labels so the reorder actually permutes
+    rng = np.random.default_rng(1)
+    labels = labels[rng.permutation(g.num_nodes)]
+    w = vip_analytical(g.rowptr, g.col, [g.split_idx["train"]],
+                       256, [5, 3])[0]
+    pg, x_shards, old2new = reorder_graph(g, labels, w, align=64)
+
+    k_off = pg.part_offsets
+    # every old vertex's new id is in its partition's range
+    for p in range(k):
+        olds = np.flatnonzero(labels == p)
+        news = old2new[olds]
+        assert np.all((news >= k_off[p]) & (news < k_off[p + 1]))
+    # equal padded shards
+    sizes = np.diff(k_off)
+    assert len(set(sizes.tolist())) == 1 and sizes[0] % 64 == 0
+    # VIP-descending within each partition
+    for p in range(k):
+        olds = np.flatnonzero(labels == p)
+        order = np.argsort(old2new[olds])
+        vips = w[olds][order]
+        assert np.all(np.diff(vips) <= 1e-6)
+    # graph structure is isomorphic: edges map exactly
+    old_edges = set()
+    src_old = np.repeat(np.arange(g.num_nodes), np.diff(g.rowptr))
+    for s, d in zip(src_old[:3000], g.col[:3000]):
+        old_edges.add((old2new[s], old2new[d]))
+    src_new = np.repeat(np.arange(pg.num_nodes), np.diff(pg.rowptr))
+    new_edges = set(zip(src_new.tolist(), pg.col.tolist()))
+    assert old_edges <= new_edges
+    assert len(new_edges) == g.num_edges
+    # features moved with their vertices
+    for p in range(k):
+        olds = np.flatnonzero(labels == p)[:50]
+        for o in olds:
+            local = old2new[o] - k_off[p]
+            np.testing.assert_array_equal(x_shards[p][local], g.x[o])
+    # labels moved too; ghosts are -1
+    assert np.all(pg.y[old2new] == g.y)
+    ghost_mask = np.ones(pg.num_nodes, bool)
+    ghost_mask[old2new] = False
+    assert np.all(pg.y[ghost_mask] == -1)
+    # ghosts have no edges
+    assert np.all(np.diff(pg.rowptr)[ghost_mask] == 0)
+
+
+def test_reorder_save_load_roundtrip(tmp_path, small_graph):
+    g = small_graph
+    labels = contiguous_partition(g.num_nodes, 2)
+    path = reorder_and_save(g, labels, str(tmp_path))
+    for rank in range(2):
+        pg = PartitionedGraphData.load_partitioned(
+            str(tmp_path), f"{g.name}-reordered-k2", rank)
+        assert pg.num_parts == 2 and pg.rank == rank
+        assert pg.x.shape[0] == pg.part_offsets[1] - pg.part_offsets[0]
+        book = RangePartitionBook(pg.part_offsets)
+        assert book.num_parts == 2
+        # per-partition splits cover the global splits
+        tot = sum(len(pg.split_idx_parts[p]["train"]) for p in range(2))
+        assert tot == len(pg.split_idx["train"])
+
+
+def test_sampling_on_reordered_graph(small_graph):
+    """The native sampler must work unchanged on the padded id space."""
+    from salient_plusplus_tpu.sampling import BatchSpec
+    from salient_plusplus_tpu.sampling.cpp import NativeSampler
+
+    g = small_graph
+    labels = contiguous_partition(g.num_nodes, 4)
+    pg, x_shards, old2new = reorder_graph(g, labels, None, align=64)
+    native = NativeSampler(np.asarray(pg.rowptr), np.asarray(pg.col))
+    spec = BatchSpec.worst_case(32, (5, 3))
+    seeds = pg.split_idx["train"][:32]
+    b = native.sample(spec, seeds, rng_seed=3, y_global=pg.y)
+    n = int(b.level_sizes[-1])
+    assert b.overflow.tolist() == [0, 0]
+    # sampled labels valid (no ghost touched: ghosts have no edges)
+    assert np.all(pg.y[b.n_id[:n]] >= 0)
