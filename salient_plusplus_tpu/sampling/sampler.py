@@ -131,11 +131,15 @@ class FastSamplerIter:
             if bufs is None or self._shutdown.is_set():
                 return
             t0 = time.perf_counter()
-            self.sampler.native.sample_into(
-                bufs, self.batches[bno],
-                rng_seed=batch_seed(cfg.base_seed, self.epoch, bno),
-                y_global=self.sampler.y,
-            )
+            try:
+                self.sampler.native.sample_into(
+                    bufs, self.batches[bno],
+                    rng_seed=batch_seed(cfg.base_seed, self.epoch, bno),
+                    y_global=self.sampler.y,
+                )
+            except BaseException as e:  # surface in the consumer, don't hang
+                self._out.put((bno, e))
+                return
             self.stats.sample_time += time.perf_counter() - t0
             self._out.put((bno, bufs))
 
@@ -161,6 +165,9 @@ class FastSamplerIter:
                 self.stats.total_blocked_dur += dur
                 self.stats.total_blocked_occasions += 1
         bufs = self._reorder.pop(self._next_expected)
+        if isinstance(bufs, BaseException):
+            self.close()
+            raise bufs
         self._next_expected += 1
         self.stats.batches += 1
         self.stats.dropped_nodes += int(bufs.overflow[0])

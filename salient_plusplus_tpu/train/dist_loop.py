@@ -1,0 +1,328 @@
+"""Distributed (SPMD) training driver over partitioned features.
+
+The DDPDriver equivalent (reference driver/drivers/ddp.py): data-parallel
+microbatches over the mesh's data axis, row-sharded features with the
+on-device all_to_all exchange, VIP cache creation installed into the live
+step, federated / fully-random load-balance schemes, and NUM_SENT_BYTES
+accounting. Single-process multi-device (virtual CPU mesh or one host's
+chips) runs everything in-process; multi-host runs the same code with each
+host feeding its addressable devices.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..caching.vip import get_lambda_vip_cache
+from ..config import RunConfig
+from ..data.dataset import GraphData
+from ..data.reorder import reorder_graph
+from ..models import make_model
+from ..parallel.exchange import DeviceCache
+from ..parallel.mesh import DATA_AXIS, make_mesh
+from ..parallel.spmd import (
+    make_spmd_eval_step, make_spmd_train_step, stack_batches)
+from ..sampling.batch import BatchSpec
+from ..sampling.cpp import NativeSampler
+from ..sampling.sampler import FastSampler, FastSamplerConfig
+from ..sampling.shufflers import (
+    DistributedShuffler, FederatedDistributedShuffler)
+from ..utils.logging import RunLogger
+from ..utils.timing import RuntimeStats
+from .loop import calibrate_spec
+from .state import create_train_state
+
+
+class DistributedTrainer:
+    """SPMD trainer: one feature partition + one microbatch stream per
+    device. Built from a full GraphData + partition labels (reordered
+    in-memory) or from an already-reordered dataset."""
+
+    def __init__(self, cfg: RunConfig, graph: GraphData,
+                 partition_ids: np.ndarray,
+                 mesh: Optional[Mesh] = None,
+                 vip_weights: Optional[np.ndarray] = None,
+                 logger: Optional[RunLogger] = None):
+        self.cfg = cfg
+        self.logger = logger or RunLogger()
+        self.stats = RuntimeStats()
+        self.mesh = mesh or make_mesh()
+        self.world = self.mesh.devices.size
+
+        k = int(partition_ids.max()) + 1
+        assert k == self.world, (k, self.world)
+        pg, x_shards, old2new = reorder_graph(graph, partition_ids,
+                                              vip_weights)
+        self.pg = pg
+        self.old2new = old2new
+        self.part_offsets = np.asarray(pg.part_offsets, np.int32)
+        self.part_offsets_dev = jnp.asarray(self.part_offsets)
+
+        self.native = NativeSampler(np.asarray(pg.rowptr, np.int64),
+                                    np.asarray(pg.col, np.int32))
+        self.y = np.asarray(pg.y, np.int32)
+
+        # row-sharded features (equal shards by construction)
+        xs = np.concatenate(x_shards, axis=0)
+        self.features = jax.device_put(
+            jnp.asarray(xs, jnp.bfloat16),
+            NamedSharding(self.mesh, P(DATA_AXIS)))
+        self.batch_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
+        self.repl_sharding = NamedSharding(self.mesh, P())
+
+        # equal ITERATION counts across devices (N10 parity): global count
+        # from ceil(global_train / global_minibatch)
+        global_bs = cfg.train_batch_size * self.world
+        self.iters_per_epoch = pg.get_num_iterations(global_bs)["train"]
+
+        # per-device shufflers by load-balance scheme (ddp.py:319-337)
+        if cfg.load_balance_scheme == "federated":
+            self.shufflers = [
+                FederatedDistributedShuffler(
+                    pg.split_idx_parts[d]["train"], initial_seed=cfg.seed)
+                for d in range(self.world)
+            ]
+        else:
+            self.shufflers = [
+                DistributedShuffler(pg.split_idx["train"], self.world, d,
+                                    initial_seed=cfg.seed)
+                for d in range(self.world)
+            ]
+
+        pool = pg.split_idx["train"]
+        # equal-iteration chunks can exceed the nominal batch size when
+        # partitions hold unequal train-seed counts (federated scheme):
+        # size the seed cap to the largest per-device chunk
+        max_local = max(
+            len(s.idx) for s in self.shufflers) if self.shufflers else 0
+        seed_cap = max(cfg.train_batch_size,
+                       -(-max_local // self.iters_per_epoch))
+        self.train_spec = calibrate_spec(
+            self.native, pool, seed_cap, cfg.train_fanouts,
+            cfg.calibration_batches, cfg.spec_safety, cfg.seed)
+        self.r_cap = self._calibrate_r_cap()
+        self.eval_specs: Dict = {}
+
+        self.samplers = [
+            FastSampler(
+                self.native.rowptr, self.native.col, self.y,
+                FastSamplerConfig(
+                    spec=self.train_spec, batch_size=cfg.train_batch_size,
+                    base_seed=cfg.seed + 1000 * d,
+                    num_workers=max(1, cfg.num_workers // self.world or 1),
+                    max_batches_in_flight=4,
+                    exact_num_batches=self.iters_per_epoch))
+            for d in range(self.world)
+        ]
+
+        self.model = make_model(
+            cfg.model_name, pg.num_features, cfg.hidden_features,
+            pg.num_classes, cfg.num_layers, cfg.dropout)
+        self.cache: Optional[DeviceCache] = None
+        self._build_steps(with_cache=False)
+        self._init_state()
+
+    # ------------------------------------------------------------------
+    def _calibrate_r_cap(self) -> int:
+        """Measure max per-destination remote count over probe batches."""
+        rng = np.random.default_rng(self.cfg.seed + 5)
+        pool = self.pg.split_idx["train"]
+        worst = 128
+        for i in range(4):
+            seeds = np.sort(rng.choice(pool, self.cfg.train_batch_size,
+                                       replace=False))
+            b = self.native.sample(self.train_spec, seeds, rng_seed=50 + i)
+            n = int(b.level_sizes[-1])
+            owner = np.searchsorted(self.part_offsets[1:], b.n_id[:n],
+                                    side="right")
+            cnt = np.bincount(owner, minlength=self.world)
+            worst = max(worst, int(cnt.max()))
+        return int(-(-int(worst * self.cfg.spec_safety) // 128) * 128)
+
+    def _build_steps(self, with_cache: bool):
+        self.train_step = make_spmd_train_step(
+            self.mesh, "partitioned", r_cap=self.r_cap,
+            with_cache=with_cache, donate_state=False)
+        self.eval_step = make_spmd_eval_step(
+            self.mesh, "partitioned", r_cap=self.r_cap,
+            with_cache=with_cache)
+
+    def _init_state(self, trial_seed: int = 0):
+        ex_seeds = self.pg.split_idx["train"][: self.cfg.train_batch_size]
+        ex = self.native.sample(self.train_spec, ex_seeds, rng_seed=7)
+        xs_host = np.zeros((ex.n_id.shape[0], self.pg.num_features),
+                           np.float32)
+        ex_dev = jax.device_put(ex)
+        self.state = create_train_state(
+            self.model, jnp.asarray(xs_host, jnp.bfloat16), ex_dev,
+            self.cfg.lr, seed=self.cfg.seed + trial_seed)
+        # replicate the state across the mesh
+        self.state = jax.device_put(self.state, self.repl_sharding)
+
+    # ------------------------------------------------------------------
+    def create_cache(self, cache_size: Optional[float] = None,
+                     strategy: Optional[str] = None):
+        """VIP cache creation + installation (reference create_vip_cache,
+        ddp.py:417-570). Chooses the per-partition top-N remote vertices by
+        the configured strategy, fetches their rows through the exchange
+        (the 3-phase all_to_all of the reference becomes chunked id/row
+        all_to_alls), and rebuilds the steps cache-aware."""
+        cfg = self.cfg
+        cache_size = cache_size if cache_size is not None else cfg.cache_size
+        strategy = strategy or cfg.cache_strategy
+        scheme = {"vip": "vip-analytical-device",
+                  "simulation": "vip-simulation",
+                  "degree": "degree"}.get(strategy, strategy)
+        pids = np.searchsorted(self.part_offsets[1:],
+                               np.arange(self.pg.num_nodes), side="right"
+                               ).astype(np.int32)
+        lam = get_lambda_vip_cache(
+            self.pg.rowptr, self.pg.col, pids, self.pg.split_idx["train"],
+            cfg.train_fanouts, cfg.train_batch_size * self.world,
+            scheme=scheme,
+            num_iter_simulation=cfg.cache_creation_epochs)
+        cached = lam(cache_size)  # α → α·V/k rows per partition
+        num = min(len(c) for c in cached)
+        num = max(128, (num // 128) * 128)
+        ids = np.stack([np.sort(c[:num]).astype(np.int32) for c in cached])
+        rows = self._fetch_rows_spmd(ids)
+        self.cache = DeviceCache(
+            jax.device_put(jnp.asarray(ids), self.batch_sharding),
+            rows)
+        self._build_steps(with_cache=True)
+        eff = num / max(self.pg.num_nodes / self.world, 1)
+        self.logger.log("EFFECTIVE_CACHE_SIZE", num)
+        self.logger.log("EFFECTIVE_REPLICATION_FACTOR", round(eff, 4))
+        return self.cache
+
+    def _fetch_rows_spmd(self, ids: np.ndarray) -> jnp.ndarray:
+        """Gather rows for per-device id lists from the sharded feature
+        matrix via the exchange (cache-build all_to_all, ddp.py:522-551)."""
+        from ..parallel.exchange import assemble_features
+
+        world, num = ids.shape
+        chunk = 2048
+        n_chunks = -(-num // chunk)
+        pad = n_chunks * chunk - num
+        ids_p = np.concatenate(
+            [ids, np.zeros((world, pad), np.int32)], axis=1)
+        part_offsets = self.part_offsets_dev
+
+        def fetch(local_shard, id_chunk):
+            out, _ = assemble_features(
+                local_shard, id_chunk[0], jnp.int32(id_chunk.shape[1]),
+                part_offsets, DATA_AXIS, r_cap=chunk)
+            return out[None]
+
+        fetch_sm = jax.jit(jax.shard_map(
+            fetch, mesh=self.mesh,
+            in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=P(DATA_AXIS), check_vma=False))
+        outs = []
+        for c in range(n_chunks):
+            idc = jax.device_put(
+                jnp.asarray(ids_p[:, c * chunk:(c + 1) * chunk]),
+                self.batch_sharding)
+            outs.append(fetch_sm(self.features, idc))
+        rows = jnp.concatenate(outs, axis=1)[:, :num]
+        return rows
+
+    # ------------------------------------------------------------------
+    def _epoch_iterators(self, epoch: int):
+        its = []
+        for d in range(self.world):
+            self.samplers[d].set_epoch(self.shufflers[d].get_idx(epoch),
+                                       epoch)
+            its.append(iter(self.samplers[d]))
+        n = min(len(it) for it in its)
+        assert all(len(it) == n for it in its), "unequal iteration counts"
+        return its, n
+
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        its, n_iters = self._epoch_iterators(epoch)
+        losses = []
+        sent_bytes = 0
+        remote = cached_hits = local = overflow = 0
+        with self.stats.region("train_epoch"):
+            for step_i in range(n_iters):
+                bufs = [next(it) for it in its]
+                stacked = stack_batches(
+                    [b.to_padded_batch() for b in bufs])
+                stacked = jax.tree_util.tree_map(np.array, stacked)
+                dev = jax.device_put(stacked, self.batch_sharding)
+                for it, b in zip(its, bufs):
+                    it.recycle(b)
+                self.state, loss, ex = self.train_step(
+                    self.state, self.features, dev,
+                    self.part_offsets_dev, self.cache)
+                losses.append(loss)
+                if ex is not None:
+                    sent_bytes += int(np.asarray(ex.sent_bytes))
+                    remote += int(np.asarray(ex.num_remote))
+                    cached_hits += int(np.asarray(ex.num_cached))
+                    local += int(np.asarray(ex.num_local))
+                    overflow += int(np.asarray(ex.num_overflow))
+            jax.block_until_ready(self.state.params)
+        self.stats.end_epoch()
+        for it in its:
+            it.close()
+        mean_loss = float(np.mean([float(l) for l in losses]))
+        self.logger.log("NUM_SENT_BYTES", epoch, sent_bytes)
+        self.logger.log("epoch", epoch, "loss", mean_loss,
+                        "remote", remote, "cache_hits", cached_hits,
+                        "local", local, "overflow", overflow)
+        return {"loss": mean_loss, "sent_bytes": sent_bytes,
+                "remote": remote, "cache_hits": cached_hits,
+                "local": local, "overflow": overflow,
+                "iters": n_iters}
+
+    def evaluate(self, split: str) -> float:
+        cfg = self.cfg
+        fanouts = (cfg.final_test_fanouts if split == "test"
+                   else cfg.batchwise_test_fanouts)
+        global_bs = cfg.test_batch_size * self.world
+        n_iters = max(1, -(-len(self.pg.split_idx[split]) // global_bs))
+        max_local = max(len(self.pg.split_idx_parts[d][split])
+                        for d in range(self.world))
+        seed_cap = max(cfg.test_batch_size, -(-max_local // n_iters))
+        key = (split, tuple(fanouts), seed_cap)
+        if key not in self.eval_specs:
+            self.eval_specs[key] = calibrate_spec(
+                self.native, self.pg.split_idx[split], seed_cap,
+                fanouts, cfg.calibration_batches, cfg.spec_safety,
+                cfg.seed + 99)
+        spec = self.eval_specs[key]
+        its = []
+        for d in range(self.world):
+            idx = self.pg.split_idx_parts[d][split]
+            s = FastSampler(
+                self.native.rowptr, self.native.col, self.y,
+                FastSamplerConfig(
+                    spec=spec, batch_size=cfg.test_batch_size,
+                    base_seed=cfg.seed + 17,
+                    num_workers=max(1, cfg.num_workers // self.world or 1),
+                    max_batches_in_flight=2,
+                    exact_num_batches=n_iters),
+                idx=idx)
+            its.append(iter(s))
+        correct = total = 0
+        for _ in range(n_iters):
+            bufs = [next(it) for it in its]
+            stacked = stack_batches([b.to_padded_batch() for b in bufs])
+            stacked = jax.tree_util.tree_map(np.array, stacked)
+            dev = jax.device_put(stacked, self.batch_sharding)
+            for it, b in zip(its, bufs):
+                it.recycle(b)
+            c, t = self.eval_step(self.state, self.features, dev,
+                                  self.part_offsets_dev, self.cache)
+            correct += int(c)
+            total += int(t)
+        for it in its:
+            it.close()
+        return correct / max(total, 1)
