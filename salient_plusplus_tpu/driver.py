@@ -1,0 +1,181 @@
+"""Main CLI driver.
+
+Reference parity: driver/main.py + driver/parser.py — dataset load, trial
+loop, epoch blocks with periodic validation, best-model checkpointing,
+final test scoring, cache creation, and the communication_simulation
+execution mode. Single-device and SPMD-distributed paths share the config.
+
+Usage:
+    python -m salient_plusplus_tpu.driver <dataset> <job_name> [--flags]
+
+<dataset> is a dataset directory name under --dataset_root, or a synthetic
+spec "synth:V=100000,C=32,deg=12,F=64" (no network egress in some
+environments → no OGB download; use data/ogb.py where ogb is installed).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def load_dataset(cfg, name: str):
+    from .data import GraphData, synthetic
+
+    if name.startswith("synth:"):
+        kv = dict(p.split("=") for p in name[6:].split(",") if p)
+        return synthetic.planted_partition(
+            name=name.replace(":", "-").replace(",", "-").replace("=", ""),
+            num_nodes=int(kv.get("V", 100_000)),
+            num_classes=int(kv.get("C", 32)),
+            avg_degree=int(kv.get("deg", 12)),
+            num_features=int(kv.get("F", 64)),
+            seed=int(kv.get("seed", 0)),
+        )
+    path = os.path.join(cfg.dataset_root, name)
+    if os.path.exists(os.path.join(path, "meta.json")):
+        return GraphData.load(cfg.dataset_root, name)
+    # fall back to OGB ingest when the package is available
+    from .data.ogb import load_ogb
+
+    return load_ogb(name, cfg.dataset_root)
+
+
+def run_communication_simulation(cfg, graph, logger):
+    """--execution_mode communication_simulation (driver/main.py:147-178):
+    distributed sampling + partition/cache bookkeeping with no model."""
+    from .caching.simulate import run_replication_sweep, tabulate_comm_results
+    from .partition import multiconstraint_partition
+
+    k = max(2, int(os.environ.get("SIM_PARTS", "4")))
+    labels = multiconstraint_partition(graph.rowptr, graph.col, k,
+                                       seed=cfg.seed)
+    results = run_replication_sweep(
+        graph.rowptr, graph.col, labels, graph.split_idx["train"],
+        cfg.train_fanouts, cfg.train_batch_size,
+        schemes=(("vip-analytical", "degree") if cfg.cache_strategy == "vip"
+                 else (cfg.cache_strategy,)),
+        replication_factors=(0.0, 0.01, 0.05, 0.1, 0.2, cfg.cache_size),
+        num_epochs=cfg.cache_creation_epochs, seed=cfg.seed)
+    table = tabulate_comm_results(results)
+    logger.log("communication_simulation", table)
+    print(table)
+    return results
+
+
+def run_computation(cfg, graph, job_dir: str, logger):
+    """Trial loop → epochs → periodic valid → best checkpoint → final test
+    (driver/main.py:100-251)."""
+    import jax
+
+    from .train.loop import Trainer
+
+    distributed = cfg.distribute_data and len(jax.devices()) > 1
+    results = []
+    for trial in range(cfg.trials):
+        if distributed:
+            from .parallel import make_mesh
+            from .partition import multiconstraint_partition
+            from .train.dist_loop import DistributedTrainer
+
+            mesh = make_mesh()
+            labels = multiconstraint_partition(
+                graph.rowptr, graph.col, mesh.devices.size, seed=cfg.seed)
+            trainer = DistributedTrainer(cfg, graph, labels, mesh=mesh,
+                                         logger=logger)
+            if cfg.computation_mode == "frequency_cache":
+                trainer.create_cache()
+            best_acc, best_epoch = 0.0, -1
+            for epoch in range(cfg.epochs):
+                t0 = time.perf_counter()
+                m = trainer.train_epoch(epoch)
+                dt = time.perf_counter() - t0
+                logger.log("epoch_time", trial, epoch, round(dt, 3))
+                if (epoch + 1) % cfg.test_epoch_frequency == 0:
+                    acc = trainer.evaluate("valid")
+                    logger.log("valid", trial, epoch, acc)
+                    if acc > best_acc:
+                        best_acc, best_epoch = acc, epoch
+            final_valid = trainer.evaluate("valid")
+            final_test = trainer.evaluate("test")
+        else:
+            trainer = Trainer(cfg, graph, logger=logger)
+            res = trainer.run_trial(trial, checkpoint_dir=job_dir)
+            best_acc, best_epoch = res.best_valid_acc, res.best_epoch
+            final_valid, final_test = res.final_valid_acc, res.final_test_acc
+            logger.log("performance_breakdown", trainer.stats.summary())
+        results.append({"trial": trial, "best_epoch": best_epoch,
+                        "best_valid": best_acc, "final_valid": final_valid,
+                        "final_test": final_test})
+        logger.log("trial_complete", results[-1])
+        print(f"trial {trial}: best@{best_epoch} valid={best_acc:.4f} "
+              f"final_valid={final_valid:.4f} final_test={final_test:.4f}")
+    return results
+
+
+def do_test_run(cfg, graph, job_dir: str, checkpoint_epochs, logger):
+    """Score saved checkpoints (--do_test_run, driver/main.py:107-128)."""
+    from .train import checkpoint as ckpt
+    from .train.loop import Trainer
+
+    trainer = Trainer(cfg, graph, logger=logger)
+    out = []
+    for epoch in checkpoint_epochs:
+        trainer.state = ckpt.restore(job_dir, trainer.state, 0, epoch)
+        acc_v = trainer.evaluate("valid")
+        acc_t = trainer.evaluate("test")
+        logger.log("test_run", epoch, acc_v, acc_t)
+        out.append({"epoch": epoch, "valid": acc_v, "test": acc_t})
+        print(f"checkpoint epoch {epoch}: valid={acc_v:.4f} test={acc_t:.4f}")
+    return out
+
+
+def main(argv=None):
+    from .config import RunConfig
+    from .utils.logging import RunLogger
+
+    argv = argv if argv is not None else sys.argv[1:]
+    if argv and not argv[0].startswith("-"):
+        dataset_name, job_name, rest = argv[0], argv[1], argv[2:]
+    else:
+        dataset_name, job_name, rest = "synth:V=50000", "job", argv
+    test_run_epochs = None
+    if "--do_test_run" in rest:
+        i = rest.index("--do_test_run")
+        test_run_epochs = [int(e) for e in rest[i + 1].split(",")]
+        rest = rest[:i] + rest[i + 2:]
+    cfg = RunConfig.from_args(rest)
+    cfg = cfg.replace(dataset_name=dataset_name, job_name=job_name)
+
+    job_dir = os.path.join(cfg.output_root, job_name)
+    os.makedirs(job_dir, exist_ok=True)
+    with open(os.path.join(job_dir, "args.json"), "w") as f:
+        f.write(cfg.to_json())
+    logger = RunLogger(job_dir, host=os.environ.get("HOSTNAME", "host0"),
+                       verbose=False)
+
+    graph = load_dataset(cfg, dataset_name)
+    if cfg.make_deterministic:
+        np.random.seed(cfg.seed)
+
+    try:
+        if test_run_epochs is not None:
+            out = do_test_run(cfg, graph, job_dir, test_run_epochs, logger)
+        elif cfg.execution_mode == "communication_simulation":
+            out = run_communication_simulation(cfg, graph, logger)
+        else:
+            out = run_computation(cfg, graph, job_dir, logger)
+    finally:
+        logger.flush()
+    with open(os.path.join(job_dir, "results.json"), "w") as f:
+        json.dump(out, f, indent=2, default=str)
+    return out
+
+
+if __name__ == "__main__":
+    main()

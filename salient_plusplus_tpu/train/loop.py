@@ -40,11 +40,14 @@ def calibrate_spec(native: NativeSampler, seeds_pool: np.ndarray,
     overflow drops so miscalibration is observable, not silent.
     """
     L = len(fanouts)
-    # generous scratch spec for measurement
+    batch_size = min(batch_size, len(seeds_pool)) or batch_size
+    # generous scratch spec for measurement (kept monotone even when the
+    # batch size exceeds the graph size)
     caps = [batch_size]
     for f in fanouts:
-        caps.append(min(caps[-1] * (abs(f) + 1) + 1024,
-                        native.rowptr.shape[0] - 1 + 1024))
+        caps.append(max(caps[-1],
+                        min(caps[-1] * (abs(f) + 1) + 1024,
+                            native.rowptr.shape[0] - 1 + 1024)))
     probe = BatchSpec(tuple(fanouts), batch_size, tuple(caps),
                       tuple(max(1024, caps[i] * max(abs(fanouts[i]), 1))
                             for i in range(L)))

@@ -1,0 +1,77 @@
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from salient_plusplus_tpu.models import make_model
+from salient_plusplus_tpu.models.inference import layerwise_inference
+from salient_plusplus_tpu.sampling import BatchSpec, multilayer_sample_np, pad_sample
+
+
+def test_layerwise_inference_matches_full_sampling(tiny_graph):
+    """Layer-wise full-graph inference must equal a full-expansion sampled
+    forward for any seed set (both see all edges)."""
+    g = tiny_graph
+    model = make_model("SAGE", g.num_features, 16, g.num_classes, 2,
+                       dtype=jnp.float32)
+    # init with a full-expansion batch
+    seeds = g.split_idx["valid"][:16]
+    s = multilayer_sample_np(g.rowptr, g.col, seeds, [-1, -1])
+    spec = BatchSpec((-1, -1), 16,
+                     (16, s.level_sizes[1] + 8, s.level_sizes[2] + 8),
+                     (len(s.hops[0][0]) + 8, len(s.hops[1][0]) + 8))
+    b = pad_sample(s, spec, g.y)
+    x_feats = jnp.asarray(np.asarray(g.x, np.float32))
+    xb = x_feats[np.asarray(b.n_id)]
+    variables = model.init(jax.random.key(0), xb, b, training=False)
+    out_sampled = np.asarray(model.apply(variables, xb, b, training=False))
+
+    emb = layerwise_inference("SAGE", variables["params"], g.rowptr, g.col,
+                              x_feats, num_layers=2, chunk=128, dtype=jnp.float32)
+    out_layerwise = np.asarray(emb)[seeds]
+    np.testing.assert_allclose(out_sampled[:16], out_layerwise,
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_layerwise_inference_unsupported():
+    with pytest.raises(NotImplementedError):
+        layerwise_inference("GIN", {}, np.zeros(2, np.int64),
+                            np.zeros(0, np.int32), None, 2)
+
+
+def test_driver_cli_computation(tmp_path):
+    from salient_plusplus_tpu import driver
+
+    out = driver.main([
+        "synth:V=2000,C=5,deg=8,F=16", "cli_test",
+        "--epochs", "2", "--train_batch_size", "128",
+        "--train_fanouts", "5,3", "--batchwise_test_fanouts", "6,6",
+        "--final_test_fanouts", "6,6", "--num_layers", "2",
+        "--hidden_features", "16", "--num_workers", "1",
+        "--calibration_batches", "2", "--lr", "0.01",
+        "--output_root", str(tmp_path),
+    ])
+    assert len(out) == 1
+    assert out[0]["final_valid"] > 0.3
+    job_dir = os.path.join(str(tmp_path), "cli_test")
+    assert os.path.exists(os.path.join(job_dir, "args.json"))
+    assert os.path.exists(os.path.join(job_dir, "results.json"))
+    assert os.path.exists(os.path.join(job_dir, "metadata.txt"))
+
+
+def test_driver_cli_comm_simulation(tmp_path):
+    from salient_plusplus_tpu import driver
+
+    out = driver.main([
+        "synth:V=2000,C=5,deg=8,F=16", "sim_test",
+        "--execution_mode", "communication_simulation",
+        "--train_batch_size", "128", "--train_fanouts", "5,3",
+        "--cache_creation_epochs", "1",
+        "--output_root", str(tmp_path),
+    ])
+    assert "vip-analytical" in out
+    for alpha, d in out["vip-analytical"].items():
+        assert d["total"] == d["internal"] + d["cross"] + d["cache_hits"]
