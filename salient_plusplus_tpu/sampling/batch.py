@@ -110,6 +110,13 @@ class PaddedBatch(struct.PyTreeNode):
     y: "np.ndarray"             # int32 [seed_cap]
     seed_count: "np.ndarray"    # int32 []
     overflow: "np.ndarray"      # int32 [2] — (dropped_nodes, dropped_edges)
+    # host-tier features (the reference's gpu_percent split,
+    # driver/drivers/base.py:107-116): rows of frontier vertices whose
+    # features live in host RAM, gathered by the sampler thread and shipped
+    # with the batch. None on the all-HBM path.
+    cold_rows: "np.ndarray" = None   # [cold_cap, F] feature rows
+    cold_pos: "np.ndarray" = None    # int32 [cold_cap] frontier slots (pad=N_cap)
+    cold_count: "np.ndarray" = None  # int32 []
     spec: BatchSpec = struct.field(pytree_node=False, default=None)
 
     @property

@@ -75,6 +75,36 @@ class BatchBuffers:
         self.overflow = np.zeros(2, np.int32)
         self.y = np.zeros(spec.seed_cap, np.int32)
         self.seed_count = np.int32(0)
+        # host-tier (cold) feature buffers; attached only when a hot/cold
+        # split is configured
+        self.cold_rows = None
+        self.cold_pos = None
+        self.cold_count = np.int32(0)
+
+    def attach_cold(self, cold_cap: int, num_features: int, dtype):
+        self.cold_rows = np.zeros((cold_cap, num_features), dtype)
+        self.cold_pos = np.zeros(cold_cap, np.int32)
+        self.cold_count = np.int32(0)
+
+    def fill_cold(self, x_cold: np.ndarray, hot_cutoff: int) -> int:
+        """Gather host-resident rows for frontier vertices ≥ hot_cutoff.
+        Returns the number of cold rows dropped (cap overflow)."""
+        n = int(self.level_sizes[-1])
+        ids = self.n_id[:n]
+        pos = np.flatnonzero(ids >= hot_cutoff).astype(np.int32)
+        cap = self.cold_pos.shape[0]
+        dropped = max(0, len(pos) - cap)
+        pos = pos[:cap]
+        cnt = len(pos)
+        self.cold_pos[:cnt] = pos
+        # pad slots point past every frontier cap → dropped by the device
+        # scatter overlay
+        self.cold_pos[cnt:] = self.n_id.shape[0]
+        gather_rows(x_cold, (ids[pos] - hot_cutoff).astype(np.int64),
+                    out=self.cold_rows[:cnt])
+        self.cold_rows[cnt:] = 0
+        self.cold_count = np.int32(cnt)
+        return dropped
 
     def to_padded_batch(self) -> PaddedBatch:
         """Zero-copy view as a PaddedBatch (hops reversed to processing order)."""
@@ -92,6 +122,8 @@ class BatchBuffers:
         return PaddedBatch(
             n_id=self.n_id, level_sizes=self.level_sizes, edges=edges,
             y=self.y, seed_count=self.seed_count, overflow=self.overflow,
+            cold_rows=self.cold_rows, cold_pos=self.cold_pos,
+            cold_count=self.cold_count if self.cold_rows is not None else None,
             spec=spec,
         )
 

@@ -80,6 +80,12 @@ class FastSamplerConfig:
     max_batches_in_flight: int = 8
     exact_num_batches: Optional[int] = None
     skip_nonfull_batch: bool = False
+    # host-tier feature split (gpu_percent analog, base.py:107-116):
+    # vertices with id >= hot_cutoff have their rows in x_cold (host RAM,
+    # row i = global row hot_cutoff+i) and are gathered by sampler threads
+    hot_cutoff: Optional[int] = None
+    x_cold: Optional[np.ndarray] = None
+    cold_cap: int = 0
 
 
 class FastSamplerIter:
@@ -110,7 +116,11 @@ class FastSamplerIter:
         pool = min(cfg.max_batches_in_flight + cfg.num_workers,
                    max(2, self.num_batches + 1))
         for _ in range(max(pool, 1)):
-            self._free.put(BatchBuffers(cfg.spec))
+            bufs = BatchBuffers(cfg.spec)
+            if cfg.hot_cutoff is not None:
+                bufs.attach_cold(cfg.cold_cap, cfg.x_cold.shape[1],
+                                 cfg.x_cold.dtype)
+            self._free.put(bufs)
         for bno, seeds in enumerate(self.batches):
             self._work.put(bno)
         self._threads = []
@@ -137,6 +147,10 @@ class FastSamplerIter:
                     rng_seed=batch_seed(cfg.base_seed, self.epoch, bno),
                     y_global=self.sampler.y,
                 )
+                if cfg.hot_cutoff is not None:
+                    dropped = bufs.fill_cold(cfg.x_cold, cfg.hot_cutoff)
+                    if dropped:
+                        self.stats.dropped_nodes += dropped
             except BaseException as e:  # surface in the consumer, don't hang
                 self._out.put((bno, e))
                 return

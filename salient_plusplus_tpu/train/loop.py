@@ -94,19 +94,35 @@ class Trainer:
             cfg.calibration_batches, cfg.spec_safety, cfg.seed)
         self.eval_specs: Dict[str, BatchSpec] = {}
 
+        # hot/cold feature split (gpu_percent analog, base.py:107-116):
+        # the hot prefix lives in HBM; the cold tail stays in host RAM and
+        # is gathered by sampler threads. VIP-reordered datasets put the
+        # hottest vertices first, making the prefix policy effective.
+        V = graph.num_nodes
+        self.hot_cutoff = (None if cfg.hbm_fraction >= 1.0
+                           else max(1, int(V * cfg.hbm_fraction)))
+        x_np = np.asarray(graph.x)
+        if self.hot_cutoff is not None:
+            self.x_cold = np.ascontiguousarray(x_np[self.hot_cutoff:])
+            cold_cap = self._calibrate_cold_cap(train_idx)
+        else:
+            self.x_cold, cold_cap = None, 0
+
         self.train_sampler = FastSampler(
             self.native.rowptr, self.native.col,
             np.asarray(graph.y, np.int32),
             FastSamplerConfig(
                 spec=self.train_spec, batch_size=cfg.train_batch_size,
                 base_seed=cfg.seed, num_workers=cfg.num_workers,
-                max_batches_in_flight=cfg.max_batches_in_flight))
+                max_batches_in_flight=cfg.max_batches_in_flight,
+                hot_cutoff=self.hot_cutoff, x_cold=self.x_cold,
+                cold_cap=cold_cap))
         self.shuffler = Shuffler(train_idx, initial_seed=cfg.seed + 2**31 - 1)
 
-        # features resident in HBM, bf16 (the x_gpu analog at
-        # hbm_fraction=1.0, driver/drivers/base.py:107-116)
+        # hot features resident in HBM, bf16
+        hot = x_np if self.hot_cutoff is None else x_np[: self.hot_cutoff]
         self.features = jax.device_put(
-            jnp.asarray(np.asarray(graph.x), jnp.bfloat16), self.device)
+            jnp.asarray(hot, jnp.bfloat16), self.device)
 
         self.model = make_model(
             cfg.model_name, graph.num_features, cfg.hidden_features,
@@ -115,6 +131,18 @@ class Trainer:
         self.eval_step = make_eval_step()
         self.state: Optional[TrainState] = None
         self.reset()
+
+    def _calibrate_cold_cap(self, pool, spec=None, align: int = 128) -> int:
+        spec = spec or self.train_spec
+        rng = np.random.default_rng(self.cfg.seed + 13)
+        worst = align
+        for i in range(max(2, self.cfg.calibration_batches // 2)):
+            take = min(spec.seed_cap, len(pool))
+            seeds = np.sort(rng.choice(pool, take, replace=False))
+            b = self.native.sample(spec, seeds, rng_seed=77 + i)
+            n = int(b.level_sizes[-1])
+            worst = max(worst, int((b.n_id[:n] >= self.hot_cutoff).sum()))
+        return int(-(-int(worst * self.cfg.spec_safety) // align) * align)
 
     def reset(self, trial_seed: int = 0):
         """Fresh params + optimizer (per-trial reset,
@@ -165,13 +193,18 @@ class Trainer:
                 cfg.test_batch_size, fanouts,
                 cfg.calibration_batches, cfg.spec_safety, cfg.seed + 99)
         spec = self.eval_specs[key]
+        cold_cap = (self._calibrate_cold_cap(self.graph.split_idx[split],
+                                             spec)
+                    if self.hot_cutoff is not None else 0)
         return FastSampler(
             self.native.rowptr, self.native.col,
             np.asarray(self.graph.y, np.int32),
             FastSamplerConfig(
                 spec=spec, batch_size=cfg.test_batch_size,
                 base_seed=cfg.seed + 7, num_workers=cfg.num_workers,
-                max_batches_in_flight=cfg.max_batches_in_flight),
+                max_batches_in_flight=cfg.max_batches_in_flight,
+                hot_cutoff=self.hot_cutoff, x_cold=self.x_cold,
+                cold_cap=cold_cap),
             idx=self.graph.split_idx[split])
 
     def evaluate(self, split: str) -> float:

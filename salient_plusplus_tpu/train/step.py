@@ -24,6 +24,23 @@ from ..sampling.batch import PaddedBatch
 from .state import TrainState
 
 
+def gather_features(features: jnp.ndarray, batch: PaddedBatch) -> jnp.ndarray:
+    """HBM gather with optional host-tier overlay.
+
+    All-HBM path: x = features[n_id]. Hot/cold split (gpu_percent analog):
+    ``features`` holds only the hot prefix; cold frontier rows arrive in the
+    batch (gathered by the sampler thread) and are scattered over the
+    clipped gather. Padded cold slots point past the frontier and are
+    dropped by the scatter.
+    """
+    idx = jnp.minimum(batch.n_id, features.shape[0] - 1)
+    x = jnp.take(features, idx, axis=0)
+    if batch.cold_rows is not None:
+        x = x.at[batch.cold_pos].set(batch.cold_rows.astype(x.dtype),
+                                     mode="drop")
+    return x
+
+
 def masked_nll(logp: jnp.ndarray, y: jnp.ndarray, seed_count) -> jnp.ndarray:
     cap = logp.shape[0]
     mask = valid_mask(cap, seed_count).astype(jnp.float32)
@@ -44,7 +61,7 @@ def make_train_step(pmean_axis: Optional[str] = None):
         key = jax.random.fold_in(state.dropout_key, state.step)
 
         def loss_fn(params):
-            x = features[batch.n_id]
+            x = gather_features(features, batch)
             vars_in = {"params": params, "batch_stats": state.batch_stats}
             out, updates = state.apply_fn(
                 vars_in, x, batch, training=True,
@@ -73,7 +90,7 @@ def make_eval_step(psum_axis: Optional[str] = None):
 
     def eval_step(state: TrainState, features: jnp.ndarray,
                   batch: PaddedBatch):
-        x = features[batch.n_id]
+        x = gather_features(features, batch)
         out = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
             x, batch, training=False)

@@ -1,0 +1,41 @@
+"""Host-RAM feature tier (gpu_percent analog): hot/cold split must be
+training-equivalent to all-HBM features."""
+
+import jax
+import numpy as np
+
+from salient_plusplus_tpu.config import RunConfig
+from salient_plusplus_tpu.train.loop import Trainer
+
+
+def _run(small_graph, hbm_fraction):
+    cfg = RunConfig(
+        train_batch_size=256, test_batch_size=512,
+        train_fanouts=[5, 3], batchwise_test_fanouts=[6, 6],
+        final_test_fanouts=[6, 6],
+        hidden_features=16, num_layers=2, lr=0.01, num_workers=2,
+        calibration_batches=2, seed=4, hbm_fraction=hbm_fraction,
+    )
+    t = Trainer(cfg, small_graph)
+    t.train_epoch(0)
+    acc = t.evaluate("valid")
+    return jax.tree_util.tree_map(np.asarray, t.state.params), acc
+
+
+def test_host_tier_equivalent(small_graph):
+    p_full, acc_full = _run(small_graph, 1.0)
+    p_half, acc_half = _run(small_graph, 0.5)
+    for a, b in zip(jax.tree_util.tree_leaves(p_full),
+                    jax.tree_util.tree_leaves(p_half)):
+        np.testing.assert_array_equal(a, b)
+    assert acc_full == acc_half
+
+
+def test_host_tier_tiny_fraction(small_graph):
+    """Even 5% HBM residency must stay exact (nearly everything cold)."""
+    p_full, acc_full = _run(small_graph, 1.0)
+    p_tiny, acc_tiny = _run(small_graph, 0.05)
+    for a, b in zip(jax.tree_util.tree_leaves(p_full),
+                    jax.tree_util.tree_leaves(p_tiny)):
+        np.testing.assert_array_equal(a, b)
+    assert acc_full == acc_tiny
