@@ -2,20 +2,23 @@
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
-Metric: edges sampled+aggregated per second per chip while training the
-default experiment shape (3-layer SAGE, hidden 256, batch 1024, fanout
+Metric: graph edges sampled + aggregated per second per chip while training
+the default experiment shape (3-layer SAGE, hidden 256, batch 1024, fanout
 [15,10,5] — the reference's defaults, driver/parser.py:44-86) on an
-ogbn-products-scale synthetic graph (no network egress → no OGB download).
+ogbn-products-scale synthetic power-law graph (no network egress → no OGB
+download). Edge counts are tracked host-side by the feeder; the loop keeps
+a 2-deep loss sync window (reading device scalars per step costs a network
+round-trip on remotely-attached TPUs).
 
 vs_baseline: ratio against 45M edges/s/GPU — the throughput implied by the
 SALIENT paper's ~2s ogbn-products epochs on one V100 (arXiv 2110.08450;
 products ≈ 90M sampled edges/epoch at these fanouts). The reference repo
-itself publishes no in-tree numbers (BASELINE.md).
+publishes no in-tree numbers (BASELINE.md).
 """
 
+import collections
 import json
 import os
-import sys
 import time
 
 import numpy as np
@@ -25,15 +28,15 @@ BASELINE_EDGES_PER_S = 45e6
 
 def main():
     import jax
-    import jax.numpy as jnp
 
     from salient_plusplus_tpu.config import RunConfig
     from salient_plusplus_tpu.data import synthetic
     from salient_plusplus_tpu.train.loop import Trainer
+    from salient_plusplus_tpu.train.pipeline import DeviceFeeder
 
     num_nodes = int(os.environ.get("BENCH_NUM_NODES", 1_000_000))
-    steps = int(os.environ.get("BENCH_STEPS", 30))
-    warmup = int(os.environ.get("BENCH_WARMUP", 5))
+    steps = int(os.environ.get("BENCH_STEPS", 60))
+    warmup = int(os.environ.get("BENCH_WARMUP", 60))
 
     g = synthetic.powerlaw_graph(
         name="bench-products", num_nodes=num_nodes, avg_degree=15,
@@ -47,31 +50,34 @@ def main():
     )
     trainer = Trainer(cfg, g)
 
-    # one epoch-like run, timing steady-state steps
     idx = trainer.shuffler.get_idx(0)
-    need = (steps + warmup + 2) * cfg.train_batch_size
-    trainer.train_sampler.set_epoch(idx[:need], 0)
-    it = iter(trainer.train_sampler)
-    from salient_plusplus_tpu.train.pipeline import DeviceFeeder
+    need = (steps + warmup + 6) * cfg.train_batch_size
+    trainer.train_sampler.set_epoch(
+        _cycle_unique(idx, need, cfg.train_batch_size), 0)
 
+    it = iter(trainer.train_sampler)
     feeder = DeviceFeeder(it, sharding=trainer.device, depth=4)
-    edges = 0
     n = 0
     t0 = None
+    e_mark = 0
+    sync_q = collections.deque()
     for batch in feeder:
         if n == warmup:
             jax.block_until_ready(trainer.state.params)
             t0 = time.perf_counter()
-            edges = 0
+            e_mark = feeder.edges_fed
         trainer.state, loss = trainer.train_step(
             trainer.state, trainer.features, batch)
-        edges += int(np.asarray(batch.overflow)[0] * 0  # keep leaf use simple
-                     + sum(int(np.asarray(e.count)) for e in batch.edges))
+        sync_q.append(loss)
+        if len(sync_q) > 2:
+            jax.block_until_ready(sync_q.popleft())
         n += 1
         if n >= warmup + steps:
             break
     jax.block_until_ready(trainer.state.params)
     dt = time.perf_counter() - t0
+    it.close()
+    edges = feeder.edges_fed - e_mark
     eps = edges / dt
     print(json.dumps({
         "metric": "train_edges_per_s_per_chip",
@@ -79,6 +85,20 @@ def main():
         "unit": "edges/s",
         "vs_baseline": round(eps / BASELINE_EDGES_PER_S, 4),
     }))
+
+
+def _cycle_unique(idx, need, batch_size=1024):
+    """Repeat the seed pool while keeping every batch window duplicate-free:
+    each repetition is a fresh permutation truncated to a whole number of
+    batches, so no batch spans two repetitions."""
+    rng = np.random.default_rng(123)
+    m = (len(idx) // batch_size) * batch_size
+    outs = [idx[:m]]
+    total = m
+    while total < need:
+        outs.append(idx[rng.permutation(len(idx))][:m])
+        total += m
+    return np.concatenate(outs)[:(need // batch_size) * batch_size]
 
 
 if __name__ == "__main__":

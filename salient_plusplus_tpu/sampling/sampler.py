@@ -201,6 +201,46 @@ class FastSamplerIter:
         self._threads = []
 
 
+class FastPreSampler:
+    """Pre-samples the whole epoch up front, then iterates the materialized
+    batches — the reference's FastPreSampler / OpenMP full_sample path
+    (fast_trainer/samplers.py:402-423, fast_sampler.cpp:310-366). Trades
+    host memory for zero sampling latency inside the epoch (useful when
+    the same epoch order is replayed, e.g. cache-creation passes)."""
+
+    def __init__(self, sampler: "FastSampler"):
+        self.sampler = sampler
+
+    def presample(self, epoch: int):
+        cfg = self.sampler.cfg
+        idx = self.sampler.get_epoch_idx(epoch)
+        batches = split_seeds(idx, cfg.batch_size, cfg.exact_num_batches)
+        out = [None] * len(batches)
+
+        import concurrent.futures as cf
+
+        def work(bno):
+            bufs = BatchBuffers(cfg.spec)
+            if cfg.hot_cutoff is not None:
+                bufs.attach_cold(cfg.cold_cap, cfg.x_cold.shape[1],
+                                 cfg.x_cold.dtype)
+            self.sampler.native.sample_into(
+                bufs, batches[bno],
+                rng_seed=batch_seed(cfg.base_seed, epoch, bno),
+                y_global=self.sampler.y)
+            if cfg.hot_cutoff is not None:
+                bufs.fill_cold(cfg.x_cold, cfg.hot_cutoff)
+            return bno, bufs
+
+        with cf.ThreadPoolExecutor(max(1, cfg.num_workers)) as ex:
+            for bno, bufs in ex.map(work, range(len(batches))):
+                out[bno] = bufs
+        return out
+
+    def __iter__(self):
+        return iter(self.presample(self.sampler.epoch))
+
+
 class FastSampler:
     """Epoch-iterable sampler over one graph (FastSampler parity,
     samplers.py:372-399). ``idx`` is set per epoch by the driver/shuffler."""

@@ -44,6 +44,10 @@ class DeviceFeeder:
         self._inflight = collections.deque()
         self.starved_dur = 0.0
         self.starved_occasions = 0
+        # host-side accounting (never read scalars off the device batch in
+        # the hot loop — on remote-attached TPUs every D2H is a round-trip)
+        self.edges_fed = 0
+        self.seeds_fed = 0
         # On the CPU backend device_put zero-copies aligned numpy arrays —
         # the "device" array aliases the pooled sampler buffer, so recycling
         # would corrupt batches still in use. Copy in that case; on TPU the
@@ -56,6 +60,8 @@ class DeviceFeeder:
             getattr(d, "platform", "cpu") == "cpu" for d in devs)
 
     def _put(self, bufs: BatchBuffers):
+        self.edges_fed += int(bufs.edge_counts.sum())
+        self.seeds_fed += int(bufs.seed_count)
         host_batch = bufs.to_padded_batch()
         if self._needs_copy:
             import numpy as _np

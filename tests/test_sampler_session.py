@@ -93,3 +93,23 @@ def test_federated_shuffler():
     s = FederatedDistributedShuffler(local)
     out = s.get_idx(0)
     assert np.array_equal(np.sort(out), local)
+
+
+def test_presampler_matches_streaming(small_graph):
+    from salient_plusplus_tpu.sampling.sampler import FastPreSampler
+
+    g = small_graph
+    s = _mk_sampler(g, num_workers=2)
+    idx = g.split_idx["train"][:300]
+    s.set_epoch(idx, epoch=1)
+    streamed = []
+    it = iter(s)
+    for bufs in it:
+        b = bufs.to_padded_batch()
+        streamed.append((b.n_id.copy(), b.level_sizes.copy()))
+        it.recycle(bufs)
+    pre = FastPreSampler(s)
+    for (nid, ls), bufs in zip(streamed, pre):
+        b = bufs.to_padded_batch()
+        np.testing.assert_array_equal(b.n_id, nid)
+        np.testing.assert_array_equal(b.level_sizes, ls)
