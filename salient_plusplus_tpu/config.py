@@ -38,6 +38,11 @@ class RunConfig:
     num_layers: int = 3
     lr: float = 0.003
     dropout: float = 0.5
+    # ReduceLROnPlateau parity (--use_lrs, driver/drivers/base.py:300-306:
+    # factor 0.8; stepped with the cross-rank-averaged epoch loss)
+    use_lrs: bool = False
+    lrs_factor: float = 0.8
+    lrs_patience: int = 10
 
     # --- run shape (driver/parser.py:76-103) ---
     epochs: int = 25

@@ -225,15 +225,21 @@ class Trainer:
         """Epoch loop with best-validation tracking (driver/main.py:188-245)."""
         from . import checkpoint as ckpt
 
+        from .state import ReduceLROnPlateau
+
         cfg = self.cfg
         self.reset(trial_seed=trial)
         res = TrialResult()
         best_state = None
+        scheduler = (ReduceLROnPlateau(cfg.lrs_factor, cfg.lrs_patience)
+                     if cfg.use_lrs else None)
         for epoch in range(cfg.epochs):
             t0 = time.perf_counter()
             loss = self.train_epoch(epoch)
             res.epoch_times.append(time.perf_counter() - t0)
             res.losses.append(loss)
+            if scheduler is not None:
+                self.state = scheduler.step(self.state, loss)
             if (epoch + 1) % cfg.test_epoch_frequency == 0:
                 acc = self.evaluate("valid")
                 self.logger.log("valid_acc", epoch, acc)

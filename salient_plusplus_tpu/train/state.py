@@ -39,6 +39,46 @@ class TrainState(struct.PyTreeNode):
         )
 
 
+def get_learning_rate(state: "TrainState") -> float:
+    return float(state.opt_state.hyperparams["learning_rate"])
+
+
+def set_learning_rate(state: "TrainState", lr: float) -> "TrainState":
+    """Functionally update the injected learning-rate hyperparameter
+    (Adam moments untouched — ReduceLROnPlateau semantics)."""
+    hp = dict(state.opt_state.hyperparams)
+    hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    new_opt = state.opt_state._replace(hyperparams=hp)
+    return state.replace(opt_state=new_opt)
+
+
+class ReduceLROnPlateau:
+    """Host-side plateau scheduler (torch ReduceLROnPlateau parity as the
+    reference configures it: factor 0.8, stepped with the epoch's
+    cross-rank mean loss — fast_trainer/train.py:351-356)."""
+
+    def __init__(self, factor: float = 0.8, patience: int = 10,
+                 min_lr: float = 0.0):
+        self.factor = factor
+        self.patience = patience
+        self.min_lr = min_lr
+        self.best = float("inf")
+        self.bad_epochs = 0
+
+    def step(self, state: "TrainState", loss: float) -> "TrainState":
+        if loss < self.best - 1e-8:
+            self.best = loss
+            self.bad_epochs = 0
+            return state
+        self.bad_epochs += 1
+        if self.bad_epochs > self.patience:
+            self.bad_epochs = 0
+            new_lr = max(self.min_lr,
+                         get_learning_rate(state) * self.factor)
+            return set_learning_rate(state, new_lr)
+        return state
+
+
 def create_train_state(model, example_x, example_batch, lr: float,
                        seed: int = 0,
                        tx: Optional[optax.GradientTransformation] = None
@@ -49,7 +89,10 @@ def create_train_state(model, example_x, example_batch, lr: float,
     variables = model.init(init_key, example_x, example_batch, training=False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", FrozenDict())
-    tx = tx if tx is not None else optax.adam(lr)
+    # inject_hyperparams keeps the learning rate as optimizer state so the
+    # plateau scheduler can scale it without resetting Adam moments
+    tx = tx if tx is not None else optax.inject_hyperparams(optax.adam)(
+        learning_rate=lr)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         epoch=jnp.zeros((), jnp.int32),

@@ -57,3 +57,56 @@ def test_logger_flush(tmp_path):
     lg.flush()
     lines = open(os.path.join(str(tmp_path), "h1_logs.txt")).read().splitlines()
     assert len(lines) == 2 and "('a', 1)" in lines[0]
+
+
+def test_configure_env(tmp_path, monkeypatch):
+    from salient_plusplus_tpu.utils import configure_env
+
+    monkeypatch.chdir(tmp_path)
+    path = configure_env.write_environment_config(str(tmp_path / "cfgs"))
+    import json
+
+    cfg = json.load(open(path))
+    assert cfg["num_workers"] >= 1
+    assert "ogbn-arxiv" in cfg["feasible_datasets"]
+
+
+def test_comm_experiment_cli(tmp_path):
+    from salient_plusplus_tpu.caching import experiment
+
+    out = str(tmp_path / "res.json")
+    res = experiment.main([
+        "synth:V=2000,C=4,deg=8,F=8", "--parts", "2",
+        "--fanouts", "4,3", "--minibatch", "128",
+        "--schemes", "vip-analytical", "--replication", "0,0.2",
+        "--out", out,
+    ])
+    assert 0.2 in res["vip-analytical"]
+    res2 = experiment.main(["--parse", out])
+    assert res2["vip-analytical"][0.2]["total"] > 0
+
+
+def test_reduce_lr_on_plateau():
+    import jax.numpy as jnp
+    from salient_plusplus_tpu.train.state import (
+        ReduceLROnPlateau, get_learning_rate, set_learning_rate)
+    import optax
+    from salient_plusplus_tpu.train.state import TrainState
+
+    tx = optax.inject_hyperparams(optax.adam)(learning_rate=0.1)
+    params = {"w": jnp.ones(3)}
+    state = TrainState(step=jnp.int32(0), epoch=jnp.int32(0), params=params,
+                       batch_stats={}, opt_state=tx.init(params),
+                       dropout_key=jnp.zeros(2, jnp.uint32), tx=tx,
+                       apply_fn=lambda *a, **k: None)
+    sched = ReduceLROnPlateau(factor=0.5, patience=1)
+    state = sched.step(state, 1.0)   # best
+    state = sched.step(state, 1.0)   # bad 1
+    assert abs(get_learning_rate(state) - 0.1) < 1e-6
+    state = sched.step(state, 1.0)   # bad 2 > patience → reduce
+    assert abs(get_learning_rate(state) - 0.05) < 1e-6
+    # optimizer still steps with the new lr
+    g = {"w": jnp.ones(3)}
+    state2 = state.apply_gradients(g)
+    assert not np.allclose(np.asarray(state2.params["w"]),
+                           np.asarray(state.params["w"]))
