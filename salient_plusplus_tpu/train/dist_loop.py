@@ -247,8 +247,9 @@ class DistributedTrainer:
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         its, n_iters = self._epoch_iterators(epoch)
         losses = []
-        sent_bytes = 0
-        remote = cached_hits = local = overflow = 0
+        ex_accum = []  # device scalars; converted once at epoch end (a
+        #                per-step D2H read is a network round-trip on
+        #                remotely-attached TPUs)
         with self.stats.region("train_epoch"):
             for step_i in range(n_iters):
                 bufs = [next(it) for it in its]
@@ -263,13 +264,18 @@ class DistributedTrainer:
                     self.part_offsets_dev, self.cache)
                 losses.append(loss)
                 if ex is not None:
-                    sent_bytes += int(np.asarray(ex.sent_bytes))
-                    remote += int(np.asarray(ex.num_remote))
-                    cached_hits += int(np.asarray(ex.num_cached))
-                    local += int(np.asarray(ex.num_local))
-                    overflow += int(np.asarray(ex.num_overflow))
+                    ex_accum.append(ex)
             jax.block_until_ready(self.state.params)
         self.stats.end_epoch()
+        if ex_accum:
+            tot = jax.device_get(ex_accum)
+            sent_bytes = sum(int(e.sent_bytes) for e in tot)
+            remote = sum(int(e.num_remote) for e in tot)
+            cached_hits = sum(int(e.num_cached) for e in tot)
+            local = sum(int(e.num_local) for e in tot)
+            overflow = sum(int(e.num_overflow) for e in tot)
+        else:
+            sent_bytes = remote = cached_hits = local = overflow = 0
         for it in its:
             it.close()
         mean_loss = float(np.mean([float(l) for l in losses]))
