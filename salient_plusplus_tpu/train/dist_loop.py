@@ -42,23 +42,41 @@ from .state import create_train_state
 class DistributedTrainer:
     """SPMD trainer: one feature partition + one microbatch stream per
     device. Built from a full GraphData + partition labels (reordered
-    in-memory) or from an already-reordered dataset."""
+    in-memory) or from an already-reordered dataset.
 
-    def __init__(self, cfg: RunConfig, graph: GraphData,
-                 partition_ids: np.ndarray,
+    Multi-host aware: each process feeds only its addressable devices'
+    streams (``local_ranks``); per-host stacks become global sharded
+    arrays via jax.make_array_from_process_local_data — the rendezvous/
+    process-group layer the reference builds by hand (ddp.py:245-309)
+    comes from jax.distributed.
+    """
+
+    def __init__(self, cfg: RunConfig, graph: Optional[GraphData] = None,
+                 partition_ids: Optional[np.ndarray] = None,
                  mesh: Optional[Mesh] = None,
                  vip_weights: Optional[np.ndarray] = None,
-                 logger: Optional[RunLogger] = None):
+                 logger: Optional[RunLogger] = None,
+                 _pg=None, _x_local=None):
         self.cfg = cfg
         self.logger = logger or RunLogger()
         self.stats = RuntimeStats()
         self.mesh = mesh or make_mesh()
         self.world = self.mesh.devices.size
+        proc = jax.process_index()
+        self.local_ranks = [
+            i for i, d in enumerate(self.mesh.devices.flat)
+            if getattr(d, "process_index", 0) == proc
+        ]
 
-        k = int(partition_ids.max()) + 1
-        assert k == self.world, (k, self.world)
-        pg, x_shards, old2new = reorder_graph(graph, partition_ids,
-                                              vip_weights)
+        if _pg is None:
+            k = int(partition_ids.max()) + 1
+            assert k == self.world, (k, self.world)
+            pg, x_shards, old2new = reorder_graph(graph, partition_ids,
+                                                  vip_weights)
+            x_local = [x_shards[d] for d in self.local_ranks]
+        else:
+            pg, x_local, old2new = _pg, _x_local, None
+            assert pg.num_parts == self.world
         self.pg = pg
         self.old2new = old2new
         self.part_offsets = np.asarray(pg.part_offsets, np.int32)
@@ -68,41 +86,51 @@ class DistributedTrainer:
                                     np.asarray(pg.col, np.int32))
         self.y = np.asarray(pg.y, np.int32)
 
-        # row-sharded features (equal shards by construction)
-        xs = np.concatenate(x_shards, axis=0)
-        self.features = jax.device_put(
-            jnp.asarray(xs, jnp.bfloat16),
-            NamedSharding(self.mesh, P(DATA_AXIS)))
+        # row-sharded features: each host contributes its local partitions'
+        # (equal-size) shards
         self.batch_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
         self.repl_sharding = NamedSharding(self.mesh, P())
+        local_rows = np.concatenate(
+            [np.asarray(s) for s in x_local], axis=0).astype(np.float32)
+        local_rows = local_rows.astype(jnp.bfloat16)
+        if jax.process_count() == 1:
+            self.features = jax.device_put(jnp.asarray(local_rows),
+                                           self.batch_sharding)
+        else:
+            self.features = jax.make_array_from_process_local_data(
+                self.batch_sharding, local_rows)
 
         # equal ITERATION counts across devices (N10 parity): global count
         # from ceil(global_train / global_minibatch)
         global_bs = cfg.train_batch_size * self.world
         self.iters_per_epoch = pg.get_num_iterations(global_bs)["train"]
 
-        # per-device shufflers by load-balance scheme (ddp.py:319-337)
+        # per-LOCAL-device shufflers by load-balance scheme (ddp.py:319-337)
         if cfg.load_balance_scheme == "federated":
             self.shufflers = [
                 FederatedDistributedShuffler(
                     pg.split_idx_parts[d]["train"], initial_seed=cfg.seed)
-                for d in range(self.world)
+                for d in self.local_ranks
             ]
         else:
             self.shufflers = [
                 DistributedShuffler(pg.split_idx["train"], self.world, d,
                                     initial_seed=cfg.seed)
-                for d in range(self.world)
+                for d in self.local_ranks
             ]
 
         pool = pg.split_idx["train"]
         # equal-iteration chunks can exceed the nominal batch size when
         # partitions hold unequal train-seed counts (federated scheme):
-        # size the seed cap to the largest per-device chunk
-        max_local = max(
-            len(s.idx) for s in self.shufflers) if self.shufflers else 0
+        # size the seed cap to the largest per-device chunk — computed over
+        # ALL partitions so every host compiles identical shapes
+        if cfg.load_balance_scheme == "federated":
+            max_stream = max(len(pg.split_idx_parts[d]["train"])
+                             for d in range(self.world))
+        else:
+            max_stream = -(-len(pool) // self.world)
         seed_cap = max(cfg.train_batch_size,
-                       -(-max_local // self.iters_per_epoch))
+                       -(-max_stream // self.iters_per_epoch))
         self.train_spec = calibrate_spec(
             self.native, pool, seed_cap, cfg.train_fanouts,
             cfg.calibration_batches, cfg.spec_safety, cfg.seed)
@@ -115,10 +143,11 @@ class DistributedTrainer:
                 FastSamplerConfig(
                     spec=self.train_spec, batch_size=cfg.train_batch_size,
                     base_seed=cfg.seed + 1000 * d,
-                    num_workers=max(1, cfg.num_workers // self.world or 1),
+                    num_workers=max(1, cfg.num_workers
+                                    // len(self.local_ranks) or 1),
                     max_batches_in_flight=4,
                     exact_num_batches=self.iters_per_epoch))
-            for d in range(self.world)
+            for d in self.local_ranks
         ]
 
         self.model = make_model(
@@ -127,6 +156,31 @@ class DistributedTrainer:
         self.cache: Optional[DeviceCache] = None
         self._build_steps(with_cache=False)
         self._init_state()
+
+    @classmethod
+    def from_partitioned(cls, cfg: RunConfig, root: str, name: str,
+                         mesh: Optional[Mesh] = None,
+                         logger: Optional[RunLogger] = None
+                         ) -> "DistributedTrainer":
+        """Build from an on-disk reordered dataset (data/reorder.py
+        output): each host loads only its addressable partitions' feature
+        shards — the per-rank x{rank}.pt load of the reference
+        (driver/dataset.py:191-215)."""
+        import jax as _jax
+
+        from ..data.dataset import PartitionedGraphData
+
+        mesh = mesh or make_mesh()
+        proc = _jax.process_index()
+        local_ranks = [
+            i for i, d in enumerate(mesh.devices.flat)
+            if getattr(d, "process_index", 0) == proc
+        ]
+        pgs = [PartitionedGraphData.load_partitioned(root, name, r)
+               for r in local_ranks]
+        x_local = [pg.x for pg in pgs]
+        return cls(cfg, mesh=mesh, logger=logger, _pg=pgs[0],
+                   _x_local=x_local)
 
     # ------------------------------------------------------------------
     def _calibrate_r_cap(self) -> int:
@@ -190,11 +244,10 @@ class DistributedTrainer:
         cached = lam(cache_size)  # α → α·V/k rows per partition
         num = min(len(c) for c in cached)
         num = max(128, (num // 128) * 128)
-        ids = np.stack([np.sort(c[:num]).astype(np.int32) for c in cached])
+        ids = np.stack([np.sort(cached[d][:num]).astype(np.int32)
+                        for d in self.local_ranks])
         rows = self._fetch_rows_spmd(ids)
-        self.cache = DeviceCache(
-            jax.device_put(jnp.asarray(ids), self.batch_sharding),
-            rows)
+        self.cache = DeviceCache(self._to_global(ids), rows)
         self._build_steps(with_cache=True)
         eff = num / max(self.pg.num_nodes / self.world, 1)
         self.logger.log("EFFECTIVE_CACHE_SIZE", num)
@@ -226,21 +279,28 @@ class DistributedTrainer:
             out_specs=P(DATA_AXIS), check_vma=False))
         outs = []
         for c in range(n_chunks):
-            idc = jax.device_put(
-                jnp.asarray(ids_p[:, c * chunk:(c + 1) * chunk]),
-                self.batch_sharding)
+            idc = self._to_global(ids_p[:, c * chunk:(c + 1) * chunk])
             outs.append(fetch_sm(self.features, idc))
         rows = jnp.concatenate(outs, axis=1)[:, :num]
         return rows
 
     # ------------------------------------------------------------------
+    def _to_global(self, local_tree):
+        """Per-host stacked leaves → global mesh-sharded arrays."""
+        if jax.process_count() == 1:
+            return jax.device_put(local_tree, self.batch_sharding)
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                self.batch_sharding, np.asarray(x)),
+            local_tree)
+
     def _epoch_iterators(self, epoch: int):
         its = []
-        for d in range(self.world):
-            self.samplers[d].set_epoch(self.shufflers[d].get_idx(epoch),
+        for i, d in enumerate(self.local_ranks):
+            self.samplers[i].set_epoch(self.shufflers[i].get_idx(epoch),
                                        epoch)
-            its.append(iter(self.samplers[d]))
-        n = min(len(it) for it in its)
+            its.append(iter(self.samplers[i]))
+        n = self.iters_per_epoch
         assert all(len(it) == n for it in its), "unequal iteration counts"
         return its, n
 
@@ -256,7 +316,7 @@ class DistributedTrainer:
                 stacked = stack_batches(
                     [b.to_padded_batch() for b in bufs])
                 stacked = jax.tree_util.tree_map(np.array, stacked)
-                dev = jax.device_put(stacked, self.batch_sharding)
+                dev = self._to_global(stacked)
                 for it, b in zip(its, bufs):
                     it.recycle(b)
                 self.state, loss, ex = self.train_step(
@@ -305,7 +365,7 @@ class DistributedTrainer:
                 cfg.seed + 99)
         spec = self.eval_specs[key]
         its = []
-        for d in range(self.world):
+        for d in self.local_ranks:
             idx = self.pg.split_idx_parts[d][split]
             s = FastSampler(
                 self.native.rowptr, self.native.col, self.y,
@@ -322,7 +382,7 @@ class DistributedTrainer:
             bufs = [next(it) for it in its]
             stacked = stack_batches([b.to_padded_batch() for b in bufs])
             stacked = jax.tree_util.tree_map(np.array, stacked)
-            dev = jax.device_put(stacked, self.batch_sharding)
+            dev = self._to_global(stacked)
             for it, b in zip(its, bufs):
                 it.recycle(b)
             c, t = self.eval_step(self.state, self.features, dev,

@@ -92,3 +92,29 @@ def test_fully_random_scheme(dist_trainer):
     m = t.train_epoch(0)
     assert np.isfinite(m["loss"])
     assert m["overflow"] == 0
+
+
+def test_from_partitioned_on_disk(tmp_path):
+    """Disk path: reorder_and_save then from_partitioned must train."""
+    from salient_plusplus_tpu.data.reorder import reorder_and_save
+    from salient_plusplus_tpu.partition import contiguous_partition
+
+    g = synthetic.planted_partition(
+        name="diskd", num_nodes=2000, num_classes=4, avg_degree=8,
+        num_features=16, seed=9)
+    labels = contiguous_partition(g.num_nodes, WORLD)
+    reorder_and_save(g, labels, str(tmp_path))
+    cfg = RunConfig(
+        train_batch_size=64, train_fanouts=[4, 3],
+        batchwise_test_fanouts=[5, 5], final_test_fanouts=[5, 5],
+        hidden_features=16, num_layers=2, lr=0.01, num_workers=1,
+        calibration_batches=2, seed=1,
+    )
+    from salient_plusplus_tpu.parallel import make_mesh as mk
+
+    t = DistributedTrainer.from_partitioned(
+        cfg, str(tmp_path), f"diskd-reordered-k{WORLD}", mesh=mk(WORLD))
+    m = t.train_epoch(0)
+    assert np.isfinite(m["loss"]) and m["overflow"] == 0
+    acc = t.evaluate("valid")
+    assert 0 <= acc <= 1
