@@ -77,6 +77,11 @@ class RunConfig:
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"
 
+    # --- observability (§5.1 parity: NVTX/CUDA-events → jax.profiler) ---
+    profile_dir: Optional[str] = None   # write a profiler trace of epoch 1
+    performance_stats: bool = True      # region stats reporting
+    collect_data: bool = False          # DataCollector npz dumps
+
     def replace(self, **kw) -> "RunConfig":
         return dataclasses.replace(self, **kw)
 
@@ -102,6 +107,8 @@ class RunConfig:
                 parser.add_argument(f"--{f.name}", type=lambda s: s.lower() in ("1", "true", "yes"))
             elif f.type in ("Optional[int]", Optional[int]):
                 parser.add_argument(f"--{f.name}", type=int)
+            elif f.type in ("Optional[str]", Optional[str]):
+                parser.add_argument(f"--{f.name}", type=str)
             else:
                 ty = {"int": int, "float": float, "str": str}.get(str(f.type), str)
                 parser.add_argument(f"--{f.name}", type=ty)

@@ -86,21 +86,38 @@ def run_computation(cfg, graph, job_dir: str, logger):
             mesh = make_mesh()
             labels = multiconstraint_partition(
                 graph.rowptr, graph.col, mesh.devices.size, seed=cfg.seed)
+            from .train import checkpoint as ckpt
+            from .train.state import ReduceLROnPlateau
+
             trainer = DistributedTrainer(cfg, graph, labels, mesh=mesh,
                                          logger=logger)
             if cfg.computation_mode == "frequency_cache":
                 trainer.create_cache()
+            scheduler = (ReduceLROnPlateau(cfg.lrs_factor, cfg.lrs_patience)
+                         if cfg.use_lrs else None)
             best_acc, best_epoch = 0.0, -1
-            for epoch in range(cfg.epochs):
+            start_epoch = 0
+            resume = ckpt.latest_epoch(job_dir, trial)
+            if resume is not None and os.environ.get("RESUME", "0") == "1":
+                trainer.state = ckpt.restore(job_dir, trainer.state,
+                                             trial, resume)
+                start_epoch = resume + 1
+                logger.log("resumed", trial, resume)
+            for epoch in range(start_epoch, cfg.epochs):
                 t0 = time.perf_counter()
                 m = trainer.train_epoch(epoch)
                 dt = time.perf_counter() - t0
                 logger.log("epoch_time", trial, epoch, round(dt, 3))
+                if scheduler is not None:
+                    trainer.state = scheduler.step(trainer.state, m["loss"])
                 if (epoch + 1) % cfg.test_epoch_frequency == 0:
                     acc = trainer.evaluate("valid")
                     logger.log("valid", trial, epoch, acc)
                     if acc > best_acc:
                         best_acc, best_epoch = acc, epoch
+                        if jax.process_index() == 0:
+                            ckpt.save(job_dir, trainer.state, trial, epoch,
+                                      acc)
             final_valid = trainer.evaluate("valid")
             final_test = trainer.evaluate("test")
         else:

@@ -64,6 +64,22 @@ def restore(directory: str, state: TrainState, trial: int,
     )
 
 
+def latest_epoch(directory: str, trial: int = 0) -> Optional[int]:
+    """Highest checkpointed epoch for a trial (resume-from-latest)."""
+    if not os.path.isdir(directory):
+        return None
+    best = None
+    prefix = f"model_{trial}_"
+    for name in os.listdir(directory):
+        if name.startswith(prefix):
+            try:
+                e = int(name[len(prefix):])
+            except ValueError:
+                continue
+            best = e if best is None else max(best, e)
+    return best
+
+
 def best_epoch(directory: str, trial: int = 0) -> Optional[int]:
     """Parse metadata.txt for the best-acc epoch (reference reads it the
     same way for its final-inference reload, driver/main.py:220-235)."""

@@ -164,6 +164,11 @@ class Trainer:
                               depth=max(2, cfg.max_batches_in_flight // 2),
                               pipelined=not cfg.pipeline_disabled)
         losses = []
+        # jax.profiler trace of the post-compile epoch (the NVTX/Nsight
+        # analog, SURVEY.md §5.1); epoch 0 is compile-polluted
+        profile = cfg.profile_dir is not None and epoch == 1
+        if profile:
+            jax.profiler.start_trace(cfg.profile_dir)
         with self.stats.region("train_epoch"):
             for batch in feeder:
                 self.state, loss = self.train_step(
@@ -171,6 +176,8 @@ class Trainer:
                 losses.append(loss)
             # drain async dispatch before closing the region
             jax.block_until_ready(self.state.params)
+        if profile:
+            jax.profiler.stop_trace()
         self.stats.add("feed_starved", feeder.starved_dur)
         self.stats.add("sampler_blocked", it.stats.total_blocked_dur)
         self.stats.end_epoch()
