@@ -84,3 +84,20 @@ def test_pipeline_disabled_equivalence(small_graph):
     for a, b in zip(jax.tree_util.tree_leaves(p1),
                     jax.tree_util.tree_leaves(p2)):
         np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("model_name", ["GAT", "GIN", "SAGEResInception"])
+def test_other_models_learn(small_graph, model_name):
+    """Loss must decrease within 2 epochs for the non-SAGE families."""
+    cfg = RunConfig(
+        train_batch_size=256, test_batch_size=512,
+        train_fanouts=[6, 4], batchwise_test_fanouts=[6, 6],
+        final_test_fanouts=[6, 6], model_name=model_name,
+        hidden_features=32, num_layers=2, lr=0.005, num_workers=2,
+        calibration_batches=2, seed=1,
+    )
+    t = Trainer(cfg, small_graph)
+    l0 = t.train_epoch(0)
+    l1 = t.train_epoch(1)
+    assert np.isfinite(l1)
+    assert l1 < l0
