@@ -47,6 +47,7 @@ def main():
         hidden_features=256, num_layers=3, lr=0.003,
         num_workers=max(2, (os.cpu_count() or 4) - 1),
         max_batches_in_flight=8, calibration_batches=6,
+        spec_safety=1.15,  # padded rows cost real device time (row-op bound)
     )
     trainer = Trainer(cfg, g)
 

@@ -20,8 +20,11 @@ def valid_mask(length: int, count) -> jnp.ndarray:
 
 
 def gather_rows(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """Row gather x[idx] — isolated so the Pallas path can swap in."""
-    return jnp.take(x, idx, axis=0)
+    """Row gather x[idx] — routed through the Pallas DMA kernel when
+    enabled (ops.pallas_gather.use_pallas_gather), XLA gather otherwise."""
+    from .pallas_gather import gather_rows_auto
+
+    return gather_rows_auto(x, idx)
 
 
 def masked_segment_sum(values: jnp.ndarray, dst: jnp.ndarray, count,
