@@ -113,3 +113,18 @@ def test_presampler_matches_streaming(small_graph):
         b = bufs.to_padded_batch()
         np.testing.assert_array_equal(b.n_id, nid)
         np.testing.assert_array_equal(b.level_sizes, ls)
+
+
+import pytest
+
+
+def test_duplicate_seeds_raise(small_graph):
+    g = small_graph
+    s = _mk_sampler(g, num_workers=2)
+    idx = np.concatenate([g.split_idx["train"][:32],
+                          g.split_idx["train"][:32]])
+    s.set_epoch(idx, epoch=0)
+    it = iter(s)
+    with pytest.raises(RuntimeError, match="duplicate"):
+        for bufs in it:
+            it.recycle(bufs)

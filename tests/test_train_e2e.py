@@ -5,6 +5,7 @@ The accuracy-sanity analog of the reference's OGB accuracy tracking
 beat chance by a wide margin within a few epochs.
 """
 
+import jax
 import numpy as np
 import pytest
 
@@ -101,3 +102,23 @@ def test_other_models_learn(small_graph, model_name):
     l1 = t.train_epoch(1)
     assert np.isfinite(l1)
     assert l1 < l0
+
+
+def test_end_to_end_determinism(small_graph):
+    """Two runs with the same seed must produce identical parameters —
+    the reference needs --make_deterministic machinery for this
+    (driver/main.py:276-284); here it holds by construction."""
+    def run():
+        cfg = RunConfig(
+            train_batch_size=256, train_fanouts=[5, 3], hidden_features=16,
+            num_layers=2, lr=0.01, num_workers=3, calibration_batches=2,
+            seed=21,
+        )
+        t = Trainer(cfg, small_graph)
+        t.train_epoch(0)
+        return jax.tree_util.tree_map(np.asarray, t.state.params)
+
+    p1, p2 = run(), run()
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(a, b)
