@@ -224,3 +224,47 @@ def test_spmd_eval_step(mesh, small_graph, rng):
     correct, total = ev(state, feats, stacked, jnp.zeros(1), None)
     assert int(total) == WORLD * 32
     assert 0 <= int(correct) <= int(total)
+
+
+def test_assemble_features_overflow_counted(mesh, rng):
+    """Requests beyond r_cap are dropped (zeros) and counted, never
+    corrupting other rows."""
+    x, part_offsets = _partitioned_features(rng)
+    V, F = x.shape
+    N_cap, r_cap = 96, 4  # tiny per-destination budget
+    n_ids, counts = [], []
+    for d in range(WORLD):
+        ids = rng.choice(V, size=80, replace=False).astype(np.int32)
+        pad = np.zeros(N_cap, np.int32)
+        pad[:80] = ids
+        n_ids.append(pad)
+        counts.append(80)
+    xs = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("data")))
+
+    def f(local_shard, n_id, count):
+        out, stats = assemble_features(
+            local_shard, n_id[0], count[0], jnp.asarray(part_offsets),
+            "data", r_cap)
+        return out[None], jax.tree_util.tree_map(lambda v: v[None], stats)
+
+    out, stats = jax.jit(jax.shard_map(
+        f, mesh=mesh, in_specs=(P("data"), P("data"), P("data")),
+        out_specs=(P("data"), P("data")), check_vma=False))(
+        xs, jnp.asarray(np.stack(n_ids)),
+        jnp.asarray(np.asarray(counts, np.int32)))
+    out = np.asarray(out)
+    st = jax.tree_util.tree_map(np.asarray, stats)
+    assert int(st.num_overflow.sum()) > 0
+    for d in range(WORLD):
+        ids = n_ids[d][:80]
+        got = out[d, :80]
+        want = x[ids]
+        # every row is either exact or dropped-to-zero; local rows always
+        # exact
+        owner = np.searchsorted(part_offsets[1:], ids, side="right")
+        for i in range(80):
+            row_ok = np.allclose(got[i], want[i], rtol=1e-6)
+            zeroed = np.all(got[i] == 0)
+            assert row_ok or zeroed
+            if owner[i] == d:
+                assert row_ok
