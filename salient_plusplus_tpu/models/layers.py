@@ -52,7 +52,8 @@ class SAGEConv(nn.Module):
     @nn.compact
     def __call__(self, x, x_target, edge: EdgeBlock, out_cap: int):
         msg = gather_rows(x, edge.src)
-        agg = masked_segment_mean(msg, edge.dst, edge.count, out_cap)
+        agg = masked_segment_mean(msg, edge.dst, edge.count, out_cap,
+                                  sorted_dst=True)
         out = _dense(self.features, self.use_bias, self.dtype,
                      self.param_dtype, "lin_l")(agg)
         out = out + _dense(self.features, False, self.dtype,
@@ -113,7 +114,7 @@ class GINConv(nn.Module):
     def __call__(self, x, x_target, edge: EdgeBlock, out_cap: int,
                  valid_count=None, training: bool = False):
         agg = masked_segment_sum(gather_rows(x, edge.src), edge.dst,
-                                 edge.count, out_cap)
+                                 edge.count, out_cap, sorted_dst=True)
         h = (1.0 + self.eps) * x_target + agg
         h = _dense(self.features, True, self.dtype, self.param_dtype,
                    "fc0")(h)
@@ -141,7 +142,7 @@ class GCNConv(nn.Module):
         h = _dense(self.features, False, self.dtype, self.param_dtype,
                    "lin")(x)
         return masked_segment_sum(gather_rows(h, edge.src), edge.dst,
-                                  edge.count, out_rows)
+                                  edge.count, out_rows, sorted_dst=True)
 
 
 class ARMAConv(nn.Module):

@@ -223,9 +223,14 @@ int32_t sptpu_sample_batch(
         }
       }
     }
-    // zero the padded tail of this hop's edge block
+    // pad the tail of this hop's edge block: src→0, dst→out-level cap.
+    // The dst pad keeps the (target-grouped) dst array globally
+    // nondecreasing and self-dropping in segment reductions
+    // (indices ≥ num_segments are discarded), and makes the per-target
+    // CSR derivable on device via searchsorted.
     std::memset(esrc + e, 0, sizeof(int32_t) * (size_t)(edge_cap - e));
-    std::memset(edst + e, 0, sizeof(int32_t) * (size_t)(edge_cap - e));
+    const int32_t dst_pad = node_caps[h];
+    for (int32_t t = e; t < edge_cap; ++t) edst[t] = dst_pad;
     out_edge_counts[h] = e;
     out_level_sizes[h + 1] = n;
   }

@@ -115,7 +115,9 @@ def pad_sample(sample: SampleResult, spec: BatchSpec,
         e = len(dst)
         assert e <= cap, (e, cap)
         psrc = np.zeros(cap, np.int32)
-        pdst = np.zeros(cap, np.int32)
+        # dst padding = out-level cap: keeps dst nondecreasing and
+        # self-dropping in segment reductions (matches the native sampler)
+        pdst = np.full(cap, spec.node_caps[h], np.int32)
         psrc[:e] = src
         pdst[:e] = dst
         edges.append(EdgeBlock(src=psrc, dst=pdst, count=np.int32(e)))

@@ -60,3 +60,27 @@ def test_segment_softmax_multihead():
         sums[dst[e]] += att[e]
     np.testing.assert_allclose(sums, 1.0, rtol=1e-5)
     assert np.all(att[6:] == 0)
+
+
+def test_segment_degrees_sorted():
+    from salient_plusplus_tpu.ops.segment import segment_degrees_sorted
+
+    dst = jnp.asarray([0, 0, 1, 3, 3, 3, 5, 5], jnp.int32)  # sorted, T=6
+    deg = np.asarray(segment_degrees_sorted(dst, jnp.int32(8), 6))
+    assert deg.tolist() == [2, 1, 0, 3, 0, 2]
+    # padding beyond count excluded
+    deg2 = np.asarray(segment_degrees_sorted(dst, jnp.int32(5), 6))
+    assert deg2.tolist() == [2, 1, 0, 2, 0, 0]
+
+
+def test_sorted_mean_equals_unsorted():
+    rng = np.random.default_rng(3)
+    E, T, F = 200, 17, 5
+    dst = np.sort(rng.integers(0, T, E)).astype(np.int32)
+    vals = rng.normal(size=(E, F)).astype(np.float32)
+    count = jnp.int32(150)
+    a = np.asarray(masked_segment_mean(jnp.asarray(vals), jnp.asarray(dst),
+                                       count, T, sorted_dst=True))
+    b = np.asarray(masked_segment_mean(jnp.asarray(vals), jnp.asarray(dst),
+                                       count, T, sorted_dst=False))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
