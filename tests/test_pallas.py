@@ -23,3 +23,52 @@ def test_pallas_gather_bf16_interpret():
     np.testing.assert_array_equal(
         np.asarray(out, np.float32),
         np.asarray(table, np.float32)[np.asarray(idx)])
+
+
+def test_fused_gather_segment_sum_interpret():
+    import jax
+    from salient_plusplus_tpu.ops.pallas_aggregate import (
+        fused_gather_segment_sum, make_tile_starts)
+
+    rng = np.random.default_rng(0)
+    N, F, T, E_real = 500, 128, 128, 900
+    chunk = 128
+    E_pad = ((E_real + chunk - 1) // chunk + 1) * chunk
+    emb = jnp.asarray(rng.normal(size=(N, F)).astype(np.float32))
+    dst_r = np.sort(rng.integers(0, T, E_real)).astype(np.int32)
+    src_r = rng.integers(0, N, E_real).astype(np.int32)
+    src = np.zeros(E_pad, np.int32)
+    dst = np.full(E_pad, T, np.int32)
+    src[:E_real] = src_r
+    dst[:E_real] = dst_r
+    ts = make_tile_starts(jnp.asarray(dst), jnp.int32(E_real), T, t_tile=32)
+    out = fused_gather_segment_sum(
+        emb, jnp.asarray(src), jnp.asarray(dst), ts, T,
+        t_tile=32, chunk=chunk, r=4, interpret=True)
+    expect = np.zeros((T, F), np.float32)
+    np.add.at(expect, dst_r, np.asarray(emb)[src_r])
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_empty_tiles_interpret():
+    from salient_plusplus_tpu.ops.pallas_aggregate import (
+        fused_gather_segment_sum, make_tile_starts)
+
+    rng = np.random.default_rng(1)
+    N, F, T = 64, 128, 64
+    chunk = 64
+    # all edges in one tile; other tiles empty
+    E_real = 40
+    E_pad = 2 * chunk
+    dst_r = np.sort(rng.integers(0, 16, E_real)).astype(np.int32)
+    src_r = rng.integers(0, N, E_real).astype(np.int32)
+    src = np.zeros(E_pad, np.int32); src[:E_real] = src_r
+    dst = np.full(E_pad, T, np.int32); dst[:E_real] = dst_r
+    emb = jnp.asarray(rng.normal(size=(N, F)).astype(np.float32))
+    ts = make_tile_starts(jnp.asarray(dst), jnp.int32(E_real), T, t_tile=16)
+    out = fused_gather_segment_sum(emb, jnp.asarray(src), jnp.asarray(dst),
+                                   ts, T, t_tile=16, chunk=chunk, r=4,
+                                   interpret=True)
+    expect = np.zeros((T, F), np.float32)
+    np.add.at(expect, dst_r, np.asarray(emb)[src_r])
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-5, atol=1e-5)
