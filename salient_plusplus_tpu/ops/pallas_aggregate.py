@@ -39,20 +39,34 @@ def use_fused_aggregate(on: bool = True):
 def _kernel(tile_starts_ref, emb_ref, src_ref, dst_ref, out_ref,
             src_sm, dst_sm, ring, ring_sems, idx_sems, *,
             t_tile: int, chunk: int, r: int):
+    # Mosaic constraints shape this kernel: VMEM vector accesses at dynamic
+    # sublane offsets are illegal, so (a) the DMA ring has a leading batch
+    # dim ([r, 1, F] — dynamic leading-dim indexing is allowed), and (b)
+    # accumulation runs in a loop-carried row register that is flushed into
+    # the output tile with a masked full-tile add whenever the target
+    # changes (edges are target-grouped, so each target flushes once).
+    # 1-D HBM memrefs are (1024)-tiled: index DMAs use absolute
+    # 1024-aligned chunks of the global edge space, with per-tile [lo, hi)
+    # bounds inside each chunk. emb is rank-3 [N, 1, F] so row DMAs slice
+    # full minor planes at a dynamic (untiled) leading index.
     i = pl.program_id(0)
     t0 = i * t_tile
     e0 = tile_starts_ref[i]
     e1 = tile_starts_ref[i + 1]
     out_ref[:] = jnp.zeros_like(out_ref)
-    n_e = e1 - e0
-    n_ch = pl.cdiv(n_e, chunk)
+    f = out_ref.shape[1]
+    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (t_tile, f), 0)
 
     def row_dma(slot, k):
         return pltpu.make_async_copy(
             emb_ref.at[src_sm[k]], ring.at[slot], ring_sems.at[slot])
 
-    def chunk_body(c, _):
-        base = e0 + c * chunk
+    c0 = e0 // chunk
+    c1 = (e1 + chunk - 1) // chunk
+
+    def chunk_body(c, carry):
+        acc, cur = carry
+        base = c * chunk
         cp_s = pltpu.make_async_copy(
             src_ref.at[pl.ds(base, chunk)], src_sm, idx_sems.at[0])
         cp_d = pltpu.make_async_copy(
@@ -61,32 +75,48 @@ def _kernel(tile_starts_ref, emb_ref, src_ref, dst_ref, out_ref,
         cp_d.start()
         cp_s.wait()
         cp_d.wait()
-        limit = jnp.minimum(n_e - c * chunk, chunk)
+        lo = jnp.maximum(e0 - base, 0)
+        hi = jnp.minimum(e1 - base, chunk)
 
         for pre in range(r):  # static ring prologue
-            @pl.when(pre < limit)
+            @pl.when(lo + pre < hi)
             def _():
-                row_dma(pre, pre).start()
+                row_dma(pre, lo + pre).start()
 
-        def edge_body(k, _):
-            slot = jax.lax.rem(k, r)
+        def edge_body(k, carry):
+            acc, cur = carry
+            slot = jax.lax.rem(k - lo, r)
             row_dma(slot, k).wait()
+            row = ring[slot, 0, :].astype(jnp.float32)
             lt = dst_sm[k] - t0
+            changed = lt != cur
 
-            @pl.when((lt >= 0) & (lt < t_tile))
+            @pl.when(changed)
             def _():
-                out_ref[lt, :] += ring[slot].astype(out_ref.dtype)
+                # flush the finished target's accumulator
+                @pl.when(cur >= 0)
+                def _():
+                    out_ref[:] += jnp.where(rows_iota == cur, acc, 0.0)
 
-            @pl.when(k + r < limit)
+            acc = jnp.where(changed, row, acc + row)
+            cur = lt
+
+            @pl.when(k + r < hi)
             def _():
                 row_dma(slot, k + r).start()
 
-            return 0
+            return acc, cur
 
-        jax.lax.fori_loop(0, limit, edge_body, 0, unroll=False)
-        return 0
+        return jax.lax.fori_loop(lo, hi, edge_body, (acc, cur),
+                                 unroll=False)
 
-    jax.lax.fori_loop(0, n_ch, chunk_body, 0, unroll=False)
+    acc0 = jnp.zeros((1, f), jnp.float32)
+    acc, cur = jax.lax.fori_loop(c0, c1, chunk_body,
+                                 (acc0, jnp.int32(-1)), unroll=False)
+
+    @pl.when(cur >= 0)
+    def _():
+        out_ref[:] += jnp.where(rows_iota == cur, acc, 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -94,16 +124,19 @@ def _kernel(tile_starts_ref, emb_ref, src_ref, dst_ref, out_ref,
 def fused_gather_segment_sum(emb: jnp.ndarray, src: jnp.ndarray,
                              dst: jnp.ndarray, tile_starts: jnp.ndarray,
                              num_segments: int, t_tile: int = 64,
-                             chunk: int = 512, r: int = 8,
+                             chunk: int = 1024, r: int = 8,
                              interpret: bool = False) -> jnp.ndarray:
     """out[t] = Σ_{e: dst[e]==t} emb[src[e]] (float32 accumulate).
 
-    src/dst must be padded to a multiple of `chunk` beyond the last real
-    edge (extra slots: src=0, dst=num_segments). num_segments must be a
-    multiple of t_tile. tile_starts: int32 [num_segments//t_tile + 1].
+    src/dst length must be a multiple of `chunk` (1-D HBM tiling) with
+    padding beyond the last real edge (src=0, dst=num_segments).
+    num_segments must be a multiple of t_tile. tile_starts: int32
+    [num_segments//t_tile + 1].
     """
     assert num_segments % t_tile == 0
+    assert src.shape[0] % chunk == 0, (src.shape, chunk)
     f = emb.shape[1]
+    emb = emb[:, None, :]  # rank-3: row DMAs slice untiled leading dim
     n_tiles = num_segments // t_tile
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -118,7 +151,7 @@ def fused_gather_segment_sum(emb: jnp.ndarray, src: jnp.ndarray,
         scratch_shapes=[
             pltpu.SMEM((chunk,), jnp.int32),
             pltpu.SMEM((chunk,), jnp.int32),
-            pltpu.VMEM((8, f), emb.dtype),        # ring buffers (r ≤ 8)
+            pltpu.VMEM((8, 1, f), emb.dtype),     # ring buffers (r ≤ 8)
             pltpu.SemaphoreType.DMA((8,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -131,6 +164,59 @@ def fused_gather_segment_sum(emb: jnp.ndarray, src: jnp.ndarray,
         interpret=interpret,
     )(tile_starts.astype(jnp.int32), emb, src.astype(jnp.int32),
       dst.astype(jnp.int32))
+
+
+def _fused_fwd_impl(emb, src, dst, count, num_segments, t_tile, chunk, r):
+    # pad edge arrays to a chunk multiple so in-kernel index DMAs stay in
+    # bounds and chunk-aligned
+    pad = (-src.shape[0]) % chunk
+    src_p = jnp.concatenate([src, jnp.zeros(pad, src.dtype)])
+    dst_p = jnp.concatenate(
+        [dst, jnp.full(pad, num_segments, dst.dtype)])
+    ts = make_tile_starts(dst_p, count, num_segments, t_tile)
+    return fused_gather_segment_sum(emb, src_p, dst_p, ts, num_segments,
+                                    t_tile=t_tile, chunk=chunk, r=r)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def fused_segment_sum_op(emb, src, dst, count, num_segments: int,
+                         t_tile: int = 64):
+    """Differentiable fused aggregation (sorted-dst layout). Forward is the
+    Pallas kernel; backward is the XLA scatter formulation (transpose)."""
+    return _fused_fwd_impl(emb, src, dst, count, num_segments, t_tile,
+                           chunk=1024, r=8)
+
+
+def _fused_fwd(emb, src, dst, count, num_segments, t_tile):
+    out = _fused_fwd_impl(emb, src, dst, count, num_segments, t_tile,
+                          chunk=1024, r=8)
+    return out, (emb.shape, emb.dtype, src, dst, count)
+
+
+def _fused_bwd(num_segments, t_tile, res, g):
+    (emb_shape, emb_dtype, src, dst, count) = res
+    # d_emb[src[e]] += g[dst[e]] for real edges; padded dst==num_segments
+    # reads the appended zero row, so padded edges contribute nothing
+    g_pad = jnp.concatenate(
+        [g, jnp.zeros((1, g.shape[1]), g.dtype)], axis=0)
+    rows = jnp.take(g_pad, jnp.minimum(dst, num_segments), axis=0)
+    d_emb = jax.ops.segment_sum(rows, src, num_segments=emb_shape[0])
+    return (d_emb.astype(emb_dtype), None, None, None)
+
+
+fused_segment_sum_op.defvjp(_fused_fwd, _fused_bwd)
+
+
+def maybe_fused_segment_sum(values_src_emb, src, dst, count,
+                            num_segments: int):
+    """Dispatch: fused Pallas path when enabled and shapes qualify,
+    else None (caller falls back to gather+segment_sum)."""
+    if not _USE_FUSED:
+        return None
+    if num_segments % 64 != 0 or values_src_emb.ndim != 2:
+        return None
+    return fused_segment_sum_op(values_src_emb, src, dst, count,
+                                num_segments)
 
 
 def make_tile_starts(dst: jnp.ndarray, count, num_segments: int,
