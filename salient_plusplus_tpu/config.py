@@ -54,6 +54,7 @@ class RunConfig:
     num_workers: int = 4              # sampler threads
     max_batches_in_flight: int = 8    # bounded queue depth (train_max_num_batches)
     pipeline_disabled: bool = False   # --pipeline_disabled ablation
+    train_sampler: str = "FastSampler"  # FastSampler | FastPreSampler
 
     # --- determinism (driver/main.py:276-284) ---
     make_deterministic: bool = False

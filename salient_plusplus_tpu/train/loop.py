@@ -159,6 +159,8 @@ class Trainer:
     def train_epoch(self, epoch: int) -> float:
         cfg = self.cfg
         self.train_sampler.set_epoch(self.shuffler.get_idx(epoch), epoch)
+        if cfg.train_sampler == "FastPreSampler":
+            return self._train_epoch_presampled(epoch)
         it = iter(self.train_sampler)
         feeder = DeviceFeeder(it, sharding=self.device,
                               depth=max(2, cfg.max_batches_in_flight // 2),
@@ -187,6 +189,27 @@ class Trainer:
         mean_loss = float(np.mean([float(l) for l in losses]))
         self.logger.log("epoch", epoch, "loss", mean_loss,
                         "sampler_blocked", round(it.stats.total_blocked_dur, 4))
+        return mean_loss
+
+    def _train_epoch_presampled(self, epoch: int) -> float:
+        """FastPreSampler path (--train_sampler FastPreSampler): the whole
+        epoch is sampled up front, then streamed to the device
+        (fast_trainer/samplers.py:402-423 parity)."""
+        from ..sampling.sampler import FastPreSampler
+
+        losses = []
+        with self.stats.region("train_epoch"):
+            for bufs in FastPreSampler(self.train_sampler).presample(epoch):
+                batch = jax.device_put(
+                    jax.tree_util.tree_map(np.array, bufs.to_padded_batch()),
+                    self.device)
+                self.state, loss = self.train_step(
+                    self.state, self.features, batch)
+                losses.append(loss)
+            jax.block_until_ready(self.state.params)
+        self.stats.end_epoch()
+        mean_loss = float(np.mean([float(l) for l in losses]))
+        self.logger.log("epoch", epoch, "loss", mean_loss)
         return mean_loss
 
     def _eval_sampler(self, split: str) -> FastSampler:

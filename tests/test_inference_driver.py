@@ -75,3 +75,38 @@ def test_driver_cli_comm_simulation(tmp_path):
     assert "vip-analytical" in out
     for alpha, d in out["vip-analytical"].items():
         assert d["total"] == d["internal"] + d["cross"] + d["cache_hits"]
+
+
+def test_driver_distributed_path(tmp_path):
+    """--distribute_data on the 8-device virtual mesh: cache creation +
+    training + eval end-to-end through the CLI."""
+    from salient_plusplus_tpu import driver
+
+    out = driver.main([
+        "synth:V=4096,C=4,deg=8,F=16", "dist_cli",
+        "--distribute_data", "true", "--epochs", "2",
+        "--train_batch_size", "32", "--train_fanouts", "4,3",
+        "--batchwise_test_fanouts", "5,5", "--final_test_fanouts", "5,5",
+        "--num_layers", "2", "--hidden_features", "16",
+        "--num_workers", "1", "--calibration_batches", "2",
+        "--cache_size", "0.2", "--lr", "0.01",
+        "--output_root", str(tmp_path),
+    ])
+    assert len(out) == 1
+    assert 0 <= out[0]["final_test"] <= 1
+    assert out[0]["final_valid"] > 0.3  # learnable planted graph
+
+
+def test_presampler_training_path(small_graph):
+    from salient_plusplus_tpu.config import RunConfig
+    from salient_plusplus_tpu.train.loop import Trainer
+
+    cfg = RunConfig(
+        train_batch_size=256, train_fanouts=[5, 3], hidden_features=16,
+        num_layers=2, lr=0.01, num_workers=2, calibration_batches=2,
+        seed=8, train_sampler="FastPreSampler",
+    )
+    t = Trainer(cfg, small_graph)
+    l0 = t.train_epoch(0)
+    l1 = t.train_epoch(1)
+    assert np.isfinite(l1) and l1 < l0
