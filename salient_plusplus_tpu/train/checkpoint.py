@@ -24,16 +24,40 @@ def _ckpt_path(directory: str, trial: int, epoch: int) -> str:
                         f"model_{trial}_{epoch}")
 
 
+_ASYNC_SAVER: Optional[ocp.AsyncCheckpointer] = None
+
+
+def _async_saver() -> ocp.AsyncCheckpointer:
+    global _ASYNC_SAVER
+    if _ASYNC_SAVER is None:
+        _ASYNC_SAVER = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _ASYNC_SAVER
+
+
 def save(directory: str, state: TrainState, trial: int, epoch: int,
-         acc: Optional[float] = None) -> str:
+         acc: Optional[float] = None, use_async: bool = False) -> str:
+    """Checkpoint the full train state. ``use_async=True`` returns as soon
+    as the on-device state is snapshotted; IO overlaps the next epoch
+    (Orbax async multi-host checkpointing — the §5.4 upgrade over the
+    reference's blocking torch.save)."""
     os.makedirs(directory, exist_ok=True)
     path = _ckpt_path(directory, trial, epoch)
-    with ocp.StandardCheckpointer() as saver:
-        saver.save(path, _saveable(state), force=True)
+    if use_async:
+        saver = _async_saver()
+        saver.save(path, args=ocp.args.StandardSave(_saveable(state)),
+                   force=True)
+    else:
+        with ocp.StandardCheckpointer() as saver:
+            saver.save(path, _saveable(state), force=True)
     if acc is not None:
         with open(os.path.join(directory, "metadata.txt"), "a") as f:
             f.write(f"{epoch},{acc}\n")
     return path
+
+
+def wait_for_async_saves() -> None:
+    if _ASYNC_SAVER is not None:
+        _ASYNC_SAVER.wait_until_finished()
 
 
 def _saveable(state: TrainState):

@@ -85,6 +85,10 @@ class Trainer:
         self.logger = logger or RunLogger()
         self.stats = RuntimeStats()
         self.device = device or jax.devices()[0]
+        from ..utils.data_collector import DataCollector
+
+        self.collector = DataCollector(cfg.output_root, rank=0,
+                                       enabled=cfg.collect_data)
 
         self.native = NativeSampler(np.asarray(graph.rowptr, np.int64),
                                     np.asarray(graph.col, np.int32))
@@ -171,8 +175,17 @@ class Trainer:
         profile = cfg.profile_dir is not None and epoch == 1
         if profile:
             jax.profiler.start_trace(cfg.profile_dir)
+        self.collector.set_epoch(epoch)
+        bno = 0
         with self.stats.region("train_epoch"):
             for batch in feeder:
+                if self.collector.enabled and bno < 4:
+                    self.collector.collect(
+                        f"batch{bno}",
+                        level_sizes=batch.level_sizes,
+                        seed_count=batch.seed_count,
+                        edge_counts=[e.count for e in batch.edges])
+                bno += 1
                 self.state, loss = self.train_step(
                     self.state, self.features, batch)
                 losses.append(loss)

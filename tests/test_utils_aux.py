@@ -110,3 +110,46 @@ def test_reduce_lr_on_plateau():
     state2 = state.apply_gradients(g)
     assert not np.allclose(np.asarray(state2.params["w"]),
                            np.asarray(state.params["w"]))
+
+
+def test_async_checkpoint(tmp_path):
+    import jax.numpy as jnp
+    import optax
+    from salient_plusplus_tpu.train import checkpoint as ckpt
+    from salient_plusplus_tpu.train.state import TrainState
+
+    tx = optax.adam(0.1)
+    params = {"w": jnp.arange(4.0)}
+    import jax
+    state = TrainState(step=jnp.int32(3), epoch=jnp.int32(1), params=params,
+                       batch_stats={}, opt_state=tx.init(params),
+                       dropout_key=jax.random.key(0), tx=tx,
+                       apply_fn=lambda *a, **k: None)
+    d = str(tmp_path / "ck")
+    ckpt.save(d, state, trial=0, epoch=5, acc=0.5, use_async=True)
+    ckpt.wait_for_async_saves()
+    zero = state.replace(params={"w": jnp.zeros(4)})
+    back = ckpt.restore(d, zero, 0, 5)
+    np.testing.assert_array_equal(np.asarray(back.params["w"]),
+                                  np.arange(4.0))
+
+
+def test_collect_data_wiring(tmp_path, monkeypatch):
+    from salient_plusplus_tpu.config import RunConfig
+    from salient_plusplus_tpu.data import synthetic
+    from salient_plusplus_tpu.train.loop import Trainer
+
+    g = synthetic.planted_partition(num_nodes=1500, num_classes=4,
+                                    avg_degree=8, num_features=8, seed=2)
+    cfg = RunConfig(train_batch_size=128, train_fanouts=[4, 3],
+                    hidden_features=8, num_layers=2, num_workers=1,
+                    calibration_batches=2, collect_data=True,
+                    output_root=str(tmp_path))
+    t = Trainer(cfg, g)
+    t.train_epoch(0)
+    import glob
+
+    files = glob.glob(str(tmp_path) + "/collected_data_*/epoch0/*.npz")
+    assert files, "collector produced no dumps"
+    z = np.load(files[0])
+    assert "level_sizes" in z
