@@ -54,10 +54,20 @@ def calibrate_spec(native: NativeSampler, seeds_pool: np.ndarray,
     rng = np.random.default_rng(seed)
     ls_max = np.zeros(L + 1, np.int64)
     ec_max = np.zeros(L, np.int64)
+    probes = []
     for i in range(num_batches):
         take = min(batch_size, len(seeds_pool))
-        seeds = rng.choice(seeds_pool, size=take, replace=False)
-        b = native.sample(probe, np.sort(seeds), rng_seed=seed + i)
+        probes.append(np.sort(rng.choice(seeds_pool, size=take,
+                                         replace=False)))
+    # adversarial probe: the pool's highest-degree seeds form a near
+    # upper-bound batch (frontier size grows with seed degrees) — random
+    # probes alone under-cap degree-correlated batches on skewed graphs
+    deg = np.diff(native.rowptr)
+    order = np.argsort(-deg[seeds_pool], kind="stable")
+    probes.append(np.sort(
+        seeds_pool[order[: min(batch_size, len(seeds_pool))]]))
+    for i, seeds in enumerate(probes):
+        b = native.sample(probe, seeds, rng_seed=seed + i)
         ls_max = np.maximum(ls_max, b.level_sizes)
         ec_max = np.maximum(
             ec_max, [int(e.count) for e in reversed(b.edges)])
