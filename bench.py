@@ -48,6 +48,7 @@ def main():
         num_workers=max(2, (os.cpu_count() or 4) - 1),
         max_batches_in_flight=8, calibration_batches=6,
         spec_safety=1.15,  # padded rows cost real device time (row-op bound)
+        calibrate_worst_case=False,  # bench stream is shuffled; tight caps
     )
     trainer = Trainer(cfg, g)
 

@@ -73,6 +73,7 @@ class RunConfig:
     # --- static-shape bucketing (TPU-specific; no reference analog) ---
     spec_safety: float = 1.3          # capacity head-room over calibrated max
     calibration_batches: int = 8
+    calibrate_worst_case: bool = True  # include a top-degree probe batch
 
     # --- precision ---
     param_dtype: str = "float32"

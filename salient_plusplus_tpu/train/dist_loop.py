@@ -133,7 +133,8 @@ class DistributedTrainer:
                        -(-max_stream // self.iters_per_epoch))
         self.train_spec = calibrate_spec(
             self.native, pool, seed_cap, cfg.train_fanouts,
-            cfg.calibration_batches, cfg.spec_safety, cfg.seed)
+            cfg.calibration_batches, cfg.spec_safety, cfg.seed,
+            worst_case_probe=cfg.calibrate_worst_case)
         self.r_cap = self._calibrate_r_cap()
         self.eval_specs: Dict = {}
 
@@ -362,7 +363,8 @@ class DistributedTrainer:
             self.eval_specs[key] = calibrate_spec(
                 self.native, self.pg.split_idx[split], seed_cap,
                 fanouts, cfg.calibration_batches, cfg.spec_safety,
-                cfg.seed + 99)
+                cfg.seed + 99,
+                worst_case_probe=cfg.calibrate_worst_case)
         spec = self.eval_specs[key]
         its = []
         for d in self.local_ranks:

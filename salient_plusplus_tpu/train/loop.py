@@ -32,7 +32,8 @@ from .step import make_eval_step, make_train_step
 
 def calibrate_spec(native: NativeSampler, seeds_pool: np.ndarray,
                    batch_size: int, fanouts, num_batches: int = 8,
-                   safety: float = 1.3, seed: int = 1234) -> BatchSpec:
+                   safety: float = 1.3, seed: int = 1234,
+                   worst_case_probe: bool = True) -> BatchSpec:
     """Measure frontier/edge sizes over sample batches → padded bucket.
 
     The static-shape price of XLA (SURVEY.md §7 "hard parts"): capacities
@@ -62,10 +63,11 @@ def calibrate_spec(native: NativeSampler, seeds_pool: np.ndarray,
     # adversarial probe: the pool's highest-degree seeds form a near
     # upper-bound batch (frontier size grows with seed degrees) — random
     # probes alone under-cap degree-correlated batches on skewed graphs
-    deg = np.diff(native.rowptr)
-    order = np.argsort(-deg[seeds_pool], kind="stable")
-    probes.append(np.sort(
-        seeds_pool[order[: min(batch_size, len(seeds_pool))]]))
+    if worst_case_probe:
+        deg = np.diff(native.rowptr)
+        order = np.argsort(-deg[seeds_pool], kind="stable")
+        probes.append(np.sort(
+            seeds_pool[order[: min(batch_size, len(seeds_pool))]]))
     for i, seeds in enumerate(probes):
         b = native.sample(probe, seeds, rng_seed=seed + i)
         ls_max = np.maximum(ls_max, b.level_sizes)
@@ -105,7 +107,8 @@ class Trainer:
         train_idx = graph.split_idx["train"]
         self.train_spec = calibrate_spec(
             self.native, train_idx, cfg.train_batch_size, cfg.train_fanouts,
-            cfg.calibration_batches, cfg.spec_safety, cfg.seed)
+            cfg.calibration_batches, cfg.spec_safety, cfg.seed,
+            worst_case_probe=cfg.calibrate_worst_case)
         self.eval_specs: Dict[str, BatchSpec] = {}
 
         # hot/cold feature split (gpu_percent analog, base.py:107-116):
@@ -244,11 +247,18 @@ class Trainer:
             self.eval_specs[key] = calibrate_spec(
                 self.native, self.graph.split_idx[split],
                 cfg.test_batch_size, fanouts,
-                cfg.calibration_batches, cfg.spec_safety, cfg.seed + 99)
+                cfg.calibration_batches, cfg.spec_safety, cfg.seed + 99,
+                worst_case_probe=cfg.calibrate_worst_case)
         spec = self.eval_specs[key]
         cold_cap = (self._calibrate_cold_cap(self.graph.split_idx[split],
                                              spec)
                     if self.hot_cutoff is not None else 0)
+        # shuffle eval seeds (accuracy is order-independent): sorted split
+        # slices would otherwise form degree/VIP-correlated batches that
+        # need far larger caps than random ones
+        eval_idx = self.graph.split_idx[split]
+        eval_idx = eval_idx[np.random.default_rng(cfg.seed + 31)
+                            .permutation(len(eval_idx))]
         return FastSampler(
             self.native.rowptr, self.native.col,
             np.asarray(self.graph.y, np.int32),
@@ -258,7 +268,7 @@ class Trainer:
                 max_batches_in_flight=cfg.max_batches_in_flight,
                 hot_cutoff=self.hot_cutoff, x_cold=self.x_cold,
                 cold_cap=cold_cap),
-            idx=self.graph.split_idx[split])
+            idx=eval_idx)
 
     def evaluate(self, split: str) -> float:
         """Batchwise accuracy on a split (base.py:440-525 analog)."""
