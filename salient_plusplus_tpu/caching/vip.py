@@ -21,7 +21,7 @@ variant (caching/vip.py:185-271, driver/drivers/ddp.py:133-239).
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Callable, List, Optional, Sequence
 
 import numpy as np
 

@@ -83,6 +83,7 @@ class RunConfig:
     profile_dir: Optional[str] = None   # write a profiler trace of epoch 1
     performance_stats: bool = True      # region stats reporting
     collect_data: bool = False          # DataCollector npz dumps
+    verbose: bool = False               # mirror log events to stdout
 
     def replace(self, **kw) -> "RunConfig":
         return dataclasses.replace(self, **kw)

@@ -19,8 +19,6 @@ import json
 import os
 import sys
 import time
-from typing import Optional
-
 import numpy as np
 
 
@@ -174,7 +172,7 @@ def main(argv=None):
     with open(os.path.join(job_dir, "args.json"), "w") as f:
         f.write(cfg.to_json())
     logger = RunLogger(job_dir, host=os.environ.get("HOSTNAME", "host0"),
-                       verbose=False)
+                       verbose=cfg.verbose)
 
     graph = load_dataset(cfg, dataset_name)
     if cfg.make_deterministic:

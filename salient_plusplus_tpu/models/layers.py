@@ -16,7 +16,7 @@ matmul accumulation; the reference's fp16-storage→fp32-compute cast
 
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp

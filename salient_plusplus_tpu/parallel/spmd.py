@@ -17,8 +17,7 @@ Feature modes:
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +28,7 @@ from ..sampling.batch import PaddedBatch
 from ..train.state import TrainState
 from ..train.step import masked_nll
 from ..ops.segment import valid_mask
-from .exchange import DeviceCache, ExchangeStats, assemble_features
+from .exchange import DeviceCache, assemble_features
 from .mesh import DATA_AXIS
 
 

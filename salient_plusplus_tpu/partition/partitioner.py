@@ -18,7 +18,7 @@ is installed it is used instead for the initial partition.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -16,7 +16,7 @@ cross-check the reference lacked (SURVEY.md §4 implication (c)).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Sequence, Tuple
 
 import numpy as np

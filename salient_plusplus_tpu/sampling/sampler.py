@@ -26,12 +26,12 @@ from __future__ import annotations
 import queue
 import threading
 import time
-from dataclasses import dataclass, field
-from typing import Iterator, List, Optional
+from dataclasses import dataclass
+from typing import List, Optional
 
 import numpy as np
 
-from .batch import BatchSpec, PaddedBatch
+from .batch import BatchSpec
 from .cpp import BatchBuffers, NativeSampler
 
 

@@ -13,7 +13,6 @@ import os
 from typing import Optional
 
 import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from .state import TrainState

@@ -11,8 +11,7 @@ host feeding its addressable devices.
 
 from __future__ import annotations
 
-import time
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +27,6 @@ from ..parallel.exchange import DeviceCache
 from ..parallel.mesh import DATA_AXIS, make_mesh
 from ..parallel.spmd import (
     make_spmd_eval_step, make_spmd_train_step, stack_batches)
-from ..sampling.batch import BatchSpec
 from ..sampling.cpp import NativeSampler
 from ..sampling.sampler import FastSampler, FastSamplerConfig
 from ..sampling.shufflers import (

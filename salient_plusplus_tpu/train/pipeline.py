@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import collections
 import time
-from typing import Any, Iterator, Optional
+from typing import Any, Optional
 
 import jax
 

@@ -13,7 +13,6 @@ F.nll_loss(out, y) on dynamic batches).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

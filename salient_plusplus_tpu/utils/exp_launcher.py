@@ -17,7 +17,7 @@ import stat
 import subprocess
 import time
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 RUN_TEMPLATE = """#!/bin/bash
 set -e
