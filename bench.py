@@ -86,6 +86,13 @@ def main():
     windows.append((feeder.edges_fed - e_mark) / (time.perf_counter() - t0))
     it.close()
     eps = max(windows)
+    import sys
+
+    print(f"windows(M/s)={[round(w / 1e6, 2) for w in windows]} "
+          f"feeder_starved={feeder.starved_dur:.2f}s/"
+          f"{feeder.starved_occasions} "
+          f"sampler_blocked={it.stats.total_blocked_dur:.2f}s "
+          f"sample_time={it.stats.sample_time:.1f}s", file=sys.stderr)
     print(json.dumps({
         "metric": "train_edges_per_s_per_chip",
         "value": round(eps, 1),
