@@ -65,7 +65,16 @@ def assemble_features(
     axis_name: str,
     r_cap: int,                   # static per-destination request budget
     cache: Optional[DeviceCache] = None,
+    hot_size: Optional[int] = None,  # per-partition HBM-resident prefix
 ) -> Tuple[jnp.ndarray, ExchangeStats]:
+    """``hot_size``: with the distributed host-RAM tier, each device's
+    shard holds only the first hot_size rows of its partition; frontier
+    rows past a partition's hot prefix are *cold* — excluded from the
+    exchange entirely (zeros here) and overlaid by the caller from the
+    host-gathered cold payload shipped with the batch. The cold tail is
+    replicated in every host's RAM, so cold rows are always host-local —
+    no mid-step cross-host slicing (the reference needs a CPU round-trip
+    for this, fast_sampler.cpp:716-776)."""
     N_cap = n_id.shape[0]
     F = local_shard.shape[1]
     world = part_offsets.shape[0] - 1
@@ -76,6 +85,11 @@ def assemble_features(
     valid = idx < frontier_count
     owner = jnp.searchsorted(part_offsets[1:], n_id, side="right"
                              ).astype(jnp.int32)
+    if hot_size is not None:
+        local_off = (n_id.astype(part_offsets.dtype)
+                     - jnp.take(part_offsets, owner)).astype(jnp.int32)
+        is_cold = valid & (local_off >= hot_size)
+        valid = valid & ~is_cold
     is_local = (owner == my) & valid
     if cache is not None:
         hit, cache_pos = sorted_isin(cache.vertices, n_id)

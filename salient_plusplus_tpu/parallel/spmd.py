@@ -45,7 +45,7 @@ def _unstack(batch: PaddedBatch) -> PaddedBatch:
 
 def _lookup_features(features, batch: PaddedBatch, feature_mode: str,
                      part_offsets, r_cap: int, cache: Optional[DeviceCache],
-                     axis_name: str):
+                     axis_name: str, hot_size: Optional[int] = None):
     if feature_mode == "replicated":
         x = jnp.take(features, batch.n_id, axis=0)
         stats = None
@@ -53,14 +53,20 @@ def _lookup_features(features, batch: PaddedBatch, feature_mode: str,
         frontier_count = batch.level_sizes[-1]
         x, stats = assemble_features(
             features, batch.n_id, frontier_count, part_offsets,
-            axis_name, r_cap, cache)
+            axis_name, r_cap, cache, hot_size=hot_size)
+    if batch.cold_rows is not None:
+        # host-RAM tier overlay: cold frontier rows gathered by the
+        # sampler thread (padded slots point past the frontier → dropped)
+        x = x.at[batch.cold_pos].set(batch.cold_rows.astype(x.dtype),
+                                     mode="drop")
     return x, stats
 
 
 def make_spmd_train_step(mesh: Mesh, feature_mode: str = "replicated",
                          r_cap: int = 1024, with_cache: bool = False,
                          axis_name: str = DATA_AXIS,
-                         donate_state: bool = True):
+                         donate_state: bool = True,
+                         hot_size: Optional[int] = None):
     """Returns jitted ``step(state, features, batch, part_offsets, cache)``.
 
     features: replicated [V, F] or row-sharded [world·V_pad, F].
@@ -81,7 +87,7 @@ def make_spmd_train_step(mesh: Mesh, feature_mode: str = "replicated",
         def loss_fn(params):
             x, ex_stats = _lookup_features(
                 features, b, feature_mode, part_offsets, r_cap, dev_cache,
-                axis_name)
+                axis_name, hot_size)
             vars_in = {"params": params, "batch_stats": state.batch_stats}
             out, updates = state.apply_fn(
                 vars_in, x, b, training=True,
@@ -111,7 +117,8 @@ def make_spmd_train_step(mesh: Mesh, feature_mode: str = "replicated",
 
 def make_spmd_eval_step(mesh: Mesh, feature_mode: str = "replicated",
                         r_cap: int = 1024, with_cache: bool = False,
-                        axis_name: str = DATA_AXIS):
+                        axis_name: str = DATA_AXIS,
+                        hot_size: Optional[int] = None):
     """Jitted eval step: psum'd (correct, total) across the mesh
     (driver/drivers/base.py:517-523 all_reduce analog)."""
     feat_spec = P() if feature_mode == "replicated" else P(axis_name)
@@ -122,7 +129,7 @@ def make_spmd_eval_step(mesh: Mesh, feature_mode: str = "replicated",
         dev_cache = (DeviceCache(cache.vertices[0], cache.features[0])
                      if cache is not None else None)
         x, _ = _lookup_features(features, b, feature_mode, part_offsets,
-                                r_cap, dev_cache, axis_name)
+                                r_cap, dev_cache, axis_name, hot_size)
         out = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
             x, b, training=False)

@@ -86,25 +86,43 @@ class BatchBuffers:
         self.cold_pos = np.zeros(cold_cap, np.int32)
         self.cold_count = np.int32(0)
 
-    def fill_cold(self, x_cold: np.ndarray, hot_cutoff: int) -> int:
-        """Gather host-resident rows for frontier vertices ≥ hot_cutoff.
-        Returns the number of cold rows dropped (cap overflow)."""
-        n = int(self.level_sizes[-1])
-        ids = self.n_id[:n]
-        pos = np.flatnonzero(ids >= hot_cutoff).astype(np.int32)
+    def _fill_cold_rows(self, x_cold, pos: np.ndarray,
+                        cold_idx: np.ndarray) -> int:
         cap = self.cold_pos.shape[0]
         dropped = max(0, len(pos) - cap)
-        pos = pos[:cap]
+        pos, cold_idx = pos[:cap], cold_idx[:cap]
         cnt = len(pos)
         self.cold_pos[:cnt] = pos
         # pad slots point past every frontier cap → dropped by the device
         # scatter overlay
         self.cold_pos[cnt:] = self.n_id.shape[0]
-        gather_rows(x_cold, (ids[pos] - hot_cutoff).astype(np.int64),
+        gather_rows(x_cold, cold_idx.astype(np.int64),
                     out=self.cold_rows[:cnt])
         self.cold_rows[cnt:] = 0
         self.cold_count = np.int32(cnt)
         return dropped
+
+    def fill_cold(self, x_cold: np.ndarray, hot_cutoff: int) -> int:
+        """Gather host-resident rows for frontier vertices ≥ hot_cutoff
+        (single-host tier: one global hot prefix). Returns dropped count."""
+        n = int(self.level_sizes[-1])
+        ids = self.n_id[:n]
+        pos = np.flatnonzero(ids >= hot_cutoff).astype(np.int32)
+        return self._fill_cold_rows(x_cold, pos, ids[pos] - hot_cutoff)
+
+    def fill_cold_partitioned(self, x_cold: np.ndarray, part_size: int,
+                              hot_size: int) -> int:
+        """Distributed tier: every partition keeps its first ``hot_size``
+        rows in HBM; ``x_cold`` concatenates every partition's cold tail
+        (replicated on each host). Global id → cold row:
+        (id // S)·(S−H) + (id mod S) − H."""
+        n = int(self.level_sizes[-1])
+        ids = self.n_id[:n].astype(np.int64)
+        local = ids % part_size
+        pos = np.flatnonzero(local >= hot_size).astype(np.int32)
+        cold_idx = ((ids[pos] // part_size) * (part_size - hot_size)
+                    + local[pos] - hot_size)
+        return self._fill_cold_rows(x_cold, pos, cold_idx)
 
     def to_padded_batch(self) -> PaddedBatch:
         """Zero-copy view as a PaddedBatch (hops reversed to processing order)."""

@@ -86,6 +86,10 @@ class FastSamplerConfig:
     hot_cutoff: Optional[int] = None
     x_cold: Optional[np.ndarray] = None
     cold_cap: int = 0
+    # distributed tier variant: per-partition hot prefixes (set part/hot
+    # sizes instead of hot_cutoff; x_cold = concat of all cold tails)
+    cold_part_size: Optional[int] = None
+    cold_hot_size: Optional[int] = None
 
 
 class FastSamplerIter:
@@ -117,7 +121,7 @@ class FastSamplerIter:
                    max(2, self.num_batches + 1))
         for _ in range(max(pool, 1)):
             bufs = BatchBuffers(cfg.spec)
-            if cfg.hot_cutoff is not None:
+            if cfg.hot_cutoff is not None or cfg.cold_part_size is not None:
                 bufs.attach_cold(cfg.cold_cap, cfg.x_cold.shape[1],
                                  cfg.x_cold.dtype)
             self._free.put(bufs)
@@ -147,7 +151,12 @@ class FastSamplerIter:
                     rng_seed=batch_seed(cfg.base_seed, self.epoch, bno),
                     y_global=self.sampler.y,
                 )
-                if cfg.hot_cutoff is not None:
+                if cfg.cold_part_size is not None:
+                    dropped = bufs.fill_cold_partitioned(
+                        cfg.x_cold, cfg.cold_part_size, cfg.cold_hot_size)
+                    if dropped:
+                        self.stats.dropped_nodes += dropped
+                elif cfg.hot_cutoff is not None:
                     dropped = bufs.fill_cold(cfg.x_cold, cfg.hot_cutoff)
                     if dropped:
                         self.stats.dropped_nodes += dropped
@@ -221,14 +230,17 @@ class FastPreSampler:
 
         def work(bno):
             bufs = BatchBuffers(cfg.spec)
-            if cfg.hot_cutoff is not None:
+            if cfg.hot_cutoff is not None or cfg.cold_part_size is not None:
                 bufs.attach_cold(cfg.cold_cap, cfg.x_cold.shape[1],
                                  cfg.x_cold.dtype)
             self.sampler.native.sample_into(
                 bufs, batches[bno],
                 rng_seed=batch_seed(cfg.base_seed, epoch, bno),
                 y_global=self.sampler.y)
-            if cfg.hot_cutoff is not None:
+            if cfg.cold_part_size is not None:
+                bufs.fill_cold_partitioned(cfg.x_cold, cfg.cold_part_size,
+                                           cfg.cold_hot_size)
+            elif cfg.hot_cutoff is not None:
                 bufs.fill_cold(cfg.x_cold, cfg.hot_cutoff)
             return bno, bufs
 

@@ -54,7 +54,7 @@ class DistributedTrainer:
                  mesh: Optional[Mesh] = None,
                  vip_weights: Optional[np.ndarray] = None,
                  logger: Optional[RunLogger] = None,
-                 _pg=None, _x_local=None):
+                 _pg=None, _x_local=None, _x_all=None):
         self.cfg = cfg
         self.logger = logger or RunLogger()
         self.stats = RuntimeStats()
@@ -72,8 +72,11 @@ class DistributedTrainer:
             pg, x_shards, old2new = reorder_graph(graph, partition_ids,
                                                   vip_weights)
             x_local = [x_shards[d] for d in self.local_ranks]
+            x_all = x_shards
         else:
             pg, x_local, old2new = _pg, _x_local, None
+            x_all = _x_all if _x_all is not None else (
+                x_local if len(x_local) == self.world else None)
             assert pg.num_parts == self.world
         self.pg = pg
         self.old2new = old2new
@@ -83,6 +86,29 @@ class DistributedTrainer:
         self.native = NativeSampler(np.asarray(pg.rowptr, np.int64),
                                     np.asarray(pg.col, np.int32))
         self.y = np.asarray(pg.y, np.int32)
+
+        # distributed host-RAM tier (gpu_percent analog): each partition
+        # keeps only its first hot_size rows in HBM; the cold tails of ALL
+        # partitions are replicated in every host's RAM (host memory is
+        # ~10x HBM), so cold frontier rows are always host-local and the
+        # exchange only ever serves hot rows — no mid-step cross-host
+        # slicing (the reference's N7 CPU round-trip disappears).
+        S = int(self.part_offsets[1] - self.part_offsets[0])
+        if cfg.hbm_fraction < 1.0:
+            H = max(128, (int(S * cfg.hbm_fraction) // 128) * 128)
+            assert H < S, (H, S)
+            self.hot_size = H
+            assert x_all is not None and len(x_all) == self.world, (
+                "the distributed cold tier needs every partition's shard "
+                "on each host (cold tails are host-replicated)")
+            self.x_cold = np.ascontiguousarray(np.concatenate(
+                [np.asarray(sh)[H:] for sh in x_all], axis=0))
+            x_local = [np.asarray(x_local[i])[:H]
+                       for i in range(len(x_local))]
+        else:
+            self.hot_size = None
+            self.x_cold = None
+        self.part_size = S
 
         # row-sharded features: each host contributes its local partitions'
         # (equal-size) shards
@@ -134,6 +160,8 @@ class DistributedTrainer:
             cfg.calibration_batches, cfg.spec_safety, cfg.seed,
             worst_case_probe=cfg.calibrate_worst_case)
         self.r_cap = self._calibrate_r_cap()
+        self.cold_cap = (self._calibrate_cold_cap(self.train_spec)
+                         if self.hot_size is not None else 0)
         self.eval_specs: Dict = {}
 
         self.samplers = [
@@ -145,7 +173,11 @@ class DistributedTrainer:
                     num_workers=max(1, cfg.num_workers
                                     // len(self.local_ranks) or 1),
                     max_batches_in_flight=4,
-                    exact_num_batches=self.iters_per_epoch))
+                    exact_num_batches=self.iters_per_epoch,
+                    x_cold=self.x_cold, cold_cap=self.cold_cap,
+                    cold_part_size=(self.part_size if self.hot_size
+                                    is not None else None),
+                    cold_hot_size=self.hot_size))
             for d in self.local_ranks
         ]
 
@@ -182,15 +214,18 @@ class DistributedTrainer:
                    _x_local=x_local)
 
     # ------------------------------------------------------------------
-    def _calibrate_r_cap(self) -> int:
-        """Measure max per-destination remote count over probe batches."""
+    def _calibrate_r_cap(self, spec=None) -> int:
+        """Measure max per-destination remote count over probe batches
+        of the given spec (eval specs have far larger frontiers than the
+        train spec — each needs its own request budget)."""
+        spec = spec or self.train_spec
         rng = np.random.default_rng(self.cfg.seed + 5)
         pool = self.pg.split_idx["train"]
         worst = 128
         for i in range(4):
-            seeds = np.sort(rng.choice(pool, self.cfg.train_batch_size,
-                                       replace=False))
-            b = self.native.sample(self.train_spec, seeds, rng_seed=50 + i)
+            take = min(spec.seed_cap, len(pool))
+            seeds = np.sort(rng.choice(pool, take, replace=False))
+            b = self.native.sample(spec, seeds, rng_seed=50 + i)
             n = int(b.level_sizes[-1])
             owner = np.searchsorted(self.part_offsets[1:], b.n_id[:n],
                                     side="right")
@@ -198,13 +233,28 @@ class DistributedTrainer:
             worst = max(worst, int(cnt.max()))
         return int(-(-int(worst * self.cfg.spec_safety) // 128) * 128)
 
+    def _calibrate_cold_cap(self, spec, align: int = 128) -> int:
+        rng = np.random.default_rng(self.cfg.seed + 21)
+        pool = self.pg.split_idx["train"]
+        worst = align
+        for i in range(3):
+            take = min(spec.seed_cap, len(pool))
+            seeds = np.sort(rng.choice(pool, take, replace=False))
+            b = self.native.sample(spec, seeds, rng_seed=60 + i)
+            n = int(b.level_sizes[-1])
+            cold = ((b.n_id[:n].astype(np.int64) % self.part_size)
+                    >= self.hot_size).sum()
+            worst = max(worst, int(cold))
+        return int(-(-int(worst * self.cfg.spec_safety) // align) * align)
+
     def _build_steps(self, with_cache: bool):
         self.train_step = make_spmd_train_step(
             self.mesh, "partitioned", r_cap=self.r_cap,
-            with_cache=with_cache, donate_state=False)
+            with_cache=with_cache, donate_state=False,
+            hot_size=self.hot_size)
         self.eval_step = make_spmd_eval_step(
             self.mesh, "partitioned", r_cap=self.r_cap,
-            with_cache=with_cache)
+            with_cache=with_cache, hot_size=self.hot_size)
 
     def _init_state(self, trial_seed: int = 0):
         ex_seeds = self.pg.split_idx["train"][: self.cfg.train_batch_size]
@@ -241,6 +291,11 @@ class DistributedTrainer:
             scheme=scheme,
             num_iter_simulation=cfg.cache_creation_epochs)
         cached = lam(cache_size)  # α → α·V/k rows per partition
+        if self.hot_size is not None:
+            # only HBM-resident (hot) rows are servable by the exchange;
+            # VIP ordering puts hot rows first, so this rarely filters
+            cached = [c[(c % self.part_size) < self.hot_size]
+                      for c in cached]
         num = min(len(c) for c in cached)
         num = max(128, (num // 128) * 128)
         ids = np.stack([np.sort(cached[d][:num]).astype(np.int32)
@@ -248,6 +303,7 @@ class DistributedTrainer:
         rows = self._fetch_rows_spmd(ids)
         self.cache = DeviceCache(self._to_global(ids), rows)
         self._build_steps(with_cache=True)
+        self.eval_specs.clear()  # eval steps must be rebuilt cache-aware
         eff = num / max(self.pg.num_nodes / self.world, 1)
         self.logger.log("EFFECTIVE_CACHE_SIZE", num)
         self.logger.log("EFFECTIVE_REPLICATION_FACTOR", round(eff, 4))
@@ -358,12 +414,17 @@ class DistributedTrainer:
         seed_cap = max(cfg.test_batch_size, -(-max_local // n_iters))
         key = (split, tuple(fanouts), seed_cap)
         if key not in self.eval_specs:
-            self.eval_specs[key] = calibrate_spec(
+            espec = calibrate_spec(
                 self.native, self.pg.split_idx[split], seed_cap,
                 fanouts, cfg.calibration_batches, cfg.spec_safety,
                 cfg.seed + 99,
                 worst_case_probe=cfg.calibrate_worst_case)
-        spec = self.eval_specs[key]
+            e_rcap = self._calibrate_r_cap(espec)
+            estep = make_spmd_eval_step(
+                self.mesh, "partitioned", r_cap=e_rcap,
+                with_cache=self.cache is not None, hot_size=self.hot_size)
+            self.eval_specs[key] = (espec, estep)
+        spec, eval_step = self.eval_specs[key]
         its = []
         for d in self.local_ranks:
             idx = self.pg.split_idx_parts[d][split]
@@ -374,7 +435,13 @@ class DistributedTrainer:
                     base_seed=cfg.seed + 17,
                     num_workers=max(1, cfg.num_workers // self.world or 1),
                     max_batches_in_flight=2,
-                    exact_num_batches=n_iters),
+                    exact_num_batches=n_iters,
+                    x_cold=self.x_cold,
+                    cold_cap=(self._calibrate_cold_cap(spec)
+                              if self.hot_size is not None else 0),
+                    cold_part_size=(self.part_size if self.hot_size
+                                    is not None else None),
+                    cold_hot_size=self.hot_size),
                 idx=idx)
             its.append(iter(s))
         correct = total = 0
@@ -385,8 +452,8 @@ class DistributedTrainer:
             dev = self._to_global(stacked)
             for it, b in zip(its, bufs):
                 it.recycle(b)
-            c, t = self.eval_step(self.state, self.features, dev,
-                                  self.part_offsets_dev, self.cache)
+            c, t = eval_step(self.state, self.features, dev,
+                             self.part_offsets_dev, self.cache)
             correct += int(c)
             total += int(t)
         for it in its:

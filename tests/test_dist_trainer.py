@@ -118,3 +118,39 @@ def test_from_partitioned_on_disk(tmp_path):
     assert np.isfinite(m["loss"]) and m["overflow"] == 0
     acc = t.evaluate("valid")
     assert 0 <= acc <= 1
+
+
+def test_distributed_cold_tier_equivalent():
+    """hbm_fraction<1 in distributed mode (host-replicated cold tails) must
+    bit-match the all-HBM run."""
+    import jax
+
+    g = synthetic.planted_partition(
+        name="coldd", num_nodes=3000, num_classes=4, avg_degree=8,
+        num_features=16, seed=4)
+    from salient_plusplus_tpu.partition import contiguous_partition
+
+    labels = contiguous_partition(g.num_nodes, WORLD)
+
+    def run(frac):
+        cfg = RunConfig(
+            train_batch_size=64, train_fanouts=[4, 3],
+            batchwise_test_fanouts=[5, 5], final_test_fanouts=[5, 5],
+            hidden_features=16, num_layers=2, lr=0.01, num_workers=2,
+            calibration_batches=2, seed=6, hbm_fraction=frac,
+        )
+        t = DistributedTrainer(cfg, g, labels, mesh=make_mesh(WORLD))
+        m = t.train_epoch(0)
+        acc = t.evaluate("valid")
+        return (jax.tree_util.tree_map(np.asarray, t.state.params), m, acc)
+
+    p_full, m_full, acc_full = run(1.0)
+    p_half, m_half, acc_half = run(0.5)
+    assert m_half["overflow"] == 0
+    # cold rows exist and remote traffic shrank (cold rows skip the
+    # exchange entirely)
+    assert m_half["remote"] < m_full["remote"]
+    for a, b in zip(jax.tree_util.tree_leaves(p_full),
+                    jax.tree_util.tree_leaves(p_half)):
+        np.testing.assert_array_equal(a, b)
+    assert acc_full == acc_half
