@@ -297,7 +297,11 @@ class DistributedTrainer:
             cached = [c[(c % self.part_size) < self.hot_size]
                       for c in cached]
         num = min(len(c) for c in cached)
-        num = max(128, (num // 128) * 128)
+        if num == 0:
+            self.logger.log("EFFECTIVE_CACHE_SIZE", 0)
+            return None
+        if num >= 128:  # 128-align when there is room
+            num = (num // 128) * 128
         ids = np.stack([np.sort(cached[d][:num]).astype(np.int32)
                         for d in self.local_ranks])
         rows = self._fetch_rows_spmd(ids)

@@ -268,3 +268,45 @@ def test_assemble_features_overflow_counted(mesh, rng):
             assert row_ok or zeroed
             if owner[i] == d:
                 assert row_ok
+
+
+def test_assemble_features_hot_size(mesh, rng):
+    """hot_size classification: cold rows (local offset >= hot_size) come
+    out zero from the exchange; hot rows exact."""
+    x, part_offsets = _partitioned_features(rng)  # v_per=64
+    V, F = x.shape
+    H = 32  # hot prefix per partition
+    N_cap, r_cap = 64, 32
+    n_ids, counts = [], []
+    for d in range(WORLD):
+        ids = rng.choice(V, size=48, replace=False).astype(np.int32)
+        pad = np.zeros(N_cap, np.int32)
+        pad[:48] = ids
+        n_ids.append(pad)
+        counts.append(48)
+    xs_hot = np.concatenate([x[p * 64:p * 64 + H] for p in range(WORLD)])
+    xs = jax.device_put(jnp.asarray(xs_hot), NamedSharding(mesh, P("data")))
+
+    def f(local_shard, n_id, count):
+        out, stats = assemble_features(
+            local_shard, n_id[0], count[0], jnp.asarray(part_offsets),
+            "data", r_cap, hot_size=H)
+        return out[None], jax.tree_util.tree_map(lambda v: v[None], stats)
+
+    out, stats = jax.jit(jax.shard_map(
+        f, mesh=mesh, in_specs=(P("data"), P("data"), P("data")),
+        out_specs=(P("data"), P("data")), check_vma=False))(
+        xs, jnp.asarray(np.stack(n_ids)),
+        jnp.asarray(np.asarray(counts, np.int32)))
+    out = np.asarray(out)
+    for d in range(WORLD):
+        ids = n_ids[d][:48]
+        cold = (ids % 64) >= H
+        np.testing.assert_allclose(out[d, :48][~cold], x[ids][~cold],
+                                   rtol=1e-6)
+        assert np.all(out[d, :48][cold] == 0)
+    st = jax.tree_util.tree_map(np.asarray, stats)
+    # cold rows never entered the exchange accounting
+    hot_total = sum(int((~((n_ids[d][:48] % 64) >= H)).sum())
+                    for d in range(WORLD))
+    assert int((st.num_local + st.num_remote).sum()) == hot_total
