@@ -154,3 +154,24 @@ def test_distributed_cold_tier_equivalent():
                     jax.tree_util.tree_leaves(p_half)):
         np.testing.assert_array_equal(a, b)
     assert acc_full == acc_half
+
+
+def test_distributed_gat(dist_trainer):
+    """Non-SAGE model through the full SPMD path."""
+    g = synthetic.planted_partition(
+        name="gatd", num_nodes=2000, num_classes=4, avg_degree=8,
+        num_features=16, seed=12)
+    from salient_plusplus_tpu.partition import contiguous_partition
+
+    labels = contiguous_partition(g.num_nodes, WORLD)
+    cfg = RunConfig(
+        train_batch_size=64, train_fanouts=[4, 3],
+        batchwise_test_fanouts=[5, 5], final_test_fanouts=[5, 5],
+        model_name="GAT", hidden_features=16, num_layers=2, lr=0.01,
+        num_workers=1, calibration_batches=2, seed=2,
+    )
+    t = DistributedTrainer(cfg, g, labels, mesh=make_mesh(WORLD))
+    m0 = t.train_epoch(0)
+    m1 = t.train_epoch(1)
+    assert np.isfinite(m1["loss"]) and m1["loss"] < m0["loss"]
+    assert 0 <= t.evaluate("valid") <= 1
