@@ -53,8 +53,6 @@ def reorder_graph(
     old2new = np.empty(V, np.int64)
     new_starts = (np.arange(k) * v_pad if equal_shards
                   else np.concatenate([[0], np.cumsum(part_sizes)[:-1]]))
-    pos_in_part = np.empty(V, np.int64)
-    cursor = np.zeros(k, np.int64)
     sorted_parts = partition_ids[order]
     # vectorized within-partition rank
     for p in range(k):
@@ -66,24 +64,18 @@ def reorder_graph(
                     if equal_shards
                     else np.concatenate([[0], np.cumsum(part_sizes)]))
 
-    # permute CSR symmetrically into the new id space
+    # permute CSR symmetrically into the new id space — fully vectorized
+    # (an edge-wise lexsort; a per-node Python loop would take hours at
+    # papers100M scale)
     deg = np.diff(graph.rowptr)
     new_deg = np.zeros(V_new, np.int64)
     new_deg[old2new] = deg
     new_rowptr = np.zeros(V_new + 1, np.int64)
     np.cumsum(new_deg, out=new_rowptr[1:])
-    new_col = np.empty(graph.num_edges, np.int32)
-    # rows in new order: iterate old vertices sorted by new id
-    new2old = np.full(V_new, -1, np.int64)
-    new2old[old2new] = np.arange(V)
-    col_new_ids = old2new[graph.col]
-    for nid in range(V_new):
-        o = new2old[nid]
-        if o < 0:
-            continue
-        s, e = graph.rowptr[o], graph.rowptr[o + 1]
-        new_col[new_rowptr[nid]:new_rowptr[nid + 1]] = np.sort(
-            col_new_ids[s:e])
+    src_new = np.repeat(old2new, deg)
+    dst_new = old2new[graph.col]
+    order_e = np.lexsort((dst_new, src_new))
+    new_col = dst_new[order_e].astype(np.int32)
 
     new_y = np.full(V_new, -1, np.int32)
     new_y[old2new] = graph.y.astype(np.int32)
