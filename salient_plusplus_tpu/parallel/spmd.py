@@ -51,9 +51,10 @@ def _lookup_features(features, batch: PaddedBatch, feature_mode: str,
         stats = None
     else:
         frontier_count = batch.level_sizes[-1]
-        x, stats = assemble_features(
-            features, batch.n_id, frontier_count, part_offsets,
-            axis_name, r_cap, cache, hot_size=hot_size)
+        with jax.named_scope("feature_exchange"):
+            x, stats = assemble_features(
+                features, batch.n_id, frontier_count, part_offsets,
+                axis_name, r_cap, cache, hot_size=hot_size)
     if batch.cold_rows is not None:
         # host-RAM tier overlay: cold frontier rows gathered by the
         # sampler thread (padded slots point past the frontier → dropped)

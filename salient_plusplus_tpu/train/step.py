@@ -60,11 +60,13 @@ def make_train_step(pmean_axis: Optional[str] = None):
         key = jax.random.fold_in(state.dropout_key, state.step)
 
         def loss_fn(params):
-            x = gather_features(features, batch)
+            with jax.named_scope("feature_gather"):
+                x = gather_features(features, batch)
             vars_in = {"params": params, "batch_stats": state.batch_stats}
-            out, updates = state.apply_fn(
-                vars_in, x, batch, training=True,
-                rngs={"dropout": key}, mutable=["batch_stats"])
+            with jax.named_scope("model_forward"):
+                out, updates = state.apply_fn(
+                    vars_in, x, batch, training=True,
+                    rngs={"dropout": key}, mutable=["batch_stats"])
             loss = masked_nll(out, batch.y, batch.seed_count)
             return loss, updates.get("batch_stats", state.batch_stats)
 
