@@ -101,13 +101,20 @@ class RunConfig:
         """CLI override of any field: --field value (lists comma-separated)."""
         import argparse
 
+        def int_list(s: str) -> List[int]:
+            return [int(v) for v in s.split(",")]
+
+        def boolean(s: str) -> bool:
+            return s.lower() in ("1", "true", "yes")
+
         parser = argparse.ArgumentParser(prog="salient_plusplus_tpu")
         parser.add_argument("--config_file", type=str, default=None)
         for f in dataclasses.fields(cls):
             if f.type in ("List[int]", List[int]):
-                parser.add_argument(f"--{f.name}", type=lambda s: [int(v) for v in s.split(",")])
+                parser.add_argument(f"--{f.name}", metavar="N,N,...",
+                                    type=int_list)
             elif f.type in ("bool", bool):
-                parser.add_argument(f"--{f.name}", type=lambda s: s.lower() in ("1", "true", "yes"))
+                parser.add_argument(f"--{f.name}", type=boolean)
             elif f.type in ("Optional[int]", Optional[int]):
                 parser.add_argument(f"--{f.name}", type=int)
             elif f.type in ("Optional[str]", Optional[str]):
