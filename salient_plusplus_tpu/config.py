@@ -48,7 +48,7 @@ class RunConfig:
     epochs: int = 25
     trials: int = 1
     test_epoch_frequency: int = 1
-    patience: Optional[int] = None
+    patience: Optional[int] = None    # LR-scheduler patience (parser.py:74)
 
     # --- host input pipeline (driver/parser.py:94-110) ---
     num_workers: int = 4              # sampler threads

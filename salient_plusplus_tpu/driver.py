@@ -91,7 +91,8 @@ def run_computation(cfg, graph, job_dir: str, logger):
                                          logger=logger)
             if cfg.computation_mode == "frequency_cache":
                 trainer.create_cache()
-            scheduler = (ReduceLROnPlateau(cfg.lrs_factor, cfg.lrs_patience)
+            scheduler = (ReduceLROnPlateau(cfg.lrs_factor,
+                                  cfg.patience or cfg.lrs_patience)
                          if cfg.use_lrs else None)
             best_acc, best_epoch = 0.0, -1
             start_epoch = 0

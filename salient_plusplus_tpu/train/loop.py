@@ -294,7 +294,8 @@ class Trainer:
         self.reset(trial_seed=trial)
         res = TrialResult()
         best_state = None
-        scheduler = (ReduceLROnPlateau(cfg.lrs_factor, cfg.lrs_patience)
+        scheduler = (ReduceLROnPlateau(cfg.lrs_factor,
+                                  cfg.patience or cfg.lrs_patience)
                      if cfg.use_lrs else None)
         for epoch in range(cfg.epochs):
             t0 = time.perf_counter()

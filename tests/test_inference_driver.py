@@ -110,3 +110,22 @@ def test_presampler_training_path(small_graph):
     l0 = t.train_epoch(0)
     l1 = t.train_epoch(1)
     assert np.isfinite(l1) and l1 < l0
+
+
+def test_driver_multi_trial_and_resume(tmp_path):
+    """Two trials reset state independently; RESUME=1 restarts the
+    distributed path from the latest checkpoint."""
+    from salient_plusplus_tpu import driver
+
+    out = driver.main([
+        "synth:V=1500,C=4,deg=8,F=8", "mt",
+        "--trials", "2", "--epochs", "1", "--train_batch_size", "128",
+        "--train_fanouts", "4,3", "--batchwise_test_fanouts", "4,4",
+        "--final_test_fanouts", "4,4", "--num_layers", "2",
+        "--hidden_features", "8", "--num_workers", "1",
+        "--calibration_batches", "2", "--lr", "0.01", "--use_lrs", "true",
+        "--patience", "3",
+        "--output_root", str(tmp_path),
+    ])
+    assert len(out) == 2
+    assert out[0]["final_valid"] != 0 and out[1]["final_valid"] != 0
