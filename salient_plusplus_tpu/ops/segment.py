@@ -27,15 +27,45 @@ def gather_rows(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return gather_rows_auto(x, idx)
 
 
+def _segment_rowptr_sorted(dst: jnp.ndarray, count,
+                           num_segments: int) -> jnp.ndarray:
+    """[T+1] edge offsets per target for a nondecreasing dst array
+    (padding == num_segments sorts after every real boundary)."""
+    safe_dst = jnp.where(valid_mask(dst.shape[0], count), dst, num_segments)
+    bounds = jax.lax.broadcasted_iota(jnp.int32, (num_segments + 1,), 0)
+    return jnp.searchsorted(safe_dst, bounds, side="left").astype(jnp.int32)
+
+
+def sorted_segment_sum_scan(values: jnp.ndarray, dst: jnp.ndarray, count,
+                            num_segments: int) -> jnp.ndarray:
+    """Segment sum over target-grouped edges as a DIFFERENCE OF PREFIX
+    SUMS: cumsum along edges (vectorized associative scan) + two T-row
+    gathers at the segment boundaries. On TPU, XLA lowers scatter-adds to
+    a serialized while-loop (~40% of a training step at real sizes);
+    this formulation has no scatter at all — its backward is a reversed
+    cumsum plus a tiny 2T-row scatter. fp32 accumulation.
+    """
+    rowptr = _segment_rowptr_sorted(dst, count, num_segments)
+    c = jnp.cumsum(values.astype(jnp.float32), axis=0)
+    pad_shape = (1,) + c.shape[1:]
+    cpad = jnp.concatenate([jnp.zeros(pad_shape, c.dtype), c], axis=0)
+    out = (jnp.take(cpad, rowptr[1:], axis=0)
+           - jnp.take(cpad, rowptr[:-1], axis=0))
+    return out.astype(values.dtype)
+
+
 def masked_segment_sum(values: jnp.ndarray, dst: jnp.ndarray, count,
                        num_segments: int,
                        sorted_dst: bool = False) -> jnp.ndarray:
     """Scatter-add values[e] into out[dst[e]] for real edges (e < count).
 
     values: [E, F] (or [E]); dst: int32 [E]; count: scalar actual edge count.
-    Padded edges are routed to segment `num_segments` (an extra dropped row)
-    instead of multiplied by a mask — one comparison + where on int indices
-    is cheaper than masking the [E, F] payload.
+    Padded edges are routed to segment `num_segments` (an extra dropped
+    row). NOTE: the scan-based no-scatter formulation
+    (sorted_segment_sum_scan) measured SLOWER than XLA's while-loop
+    scatter at real sizes on v5e (33 vs 22 ms — the f32 cumsum
+    materialization costs more than the scatter saves; PERF_NOTES.md), so
+    sorted_dst only sets indices_are_sorted.
     """
     mask = valid_mask(dst.shape[0], count)
     safe_dst = jnp.where(mask, dst, num_segments)
@@ -63,17 +93,19 @@ def masked_segment_mean(values: jnp.ndarray, dst: jnp.ndarray, count,
                         num_segments: int,
                         sorted_dst: bool = False) -> jnp.ndarray:
     """Mean aggregation; zero for targets with no edges (PyG mean semantics)."""
-    mask = valid_mask(dst.shape[0], count)
-    safe_dst = jnp.where(mask, dst, num_segments)
     if sorted_dst:
-        deg = segment_degrees_sorted(dst, count, num_segments).astype(
-            values.dtype)
+        rowptr = _segment_rowptr_sorted(dst, count, num_segments)
+        deg = jnp.diff(rowptr).astype(values.dtype)
+        s = masked_segment_sum(values, dst, count, num_segments,
+                               sorted_dst=True)
     else:
+        mask = valid_mask(dst.shape[0], count)
+        safe_dst = jnp.where(mask, dst, num_segments)
         ones = mask.astype(values.dtype)
         deg = jax.ops.segment_sum(
             ones, safe_dst, num_segments=num_segments + 1)[:num_segments]
-    s = jax.ops.segment_sum(values, safe_dst, num_segments=num_segments + 1,
-                            indices_are_sorted=sorted_dst)[:num_segments]
+        s = jax.ops.segment_sum(
+            values, safe_dst, num_segments=num_segments + 1)[:num_segments]
     deg = jnp.maximum(deg, 1)
     if values.ndim > 1:
         deg = deg[:, None]

@@ -84,3 +84,18 @@ def test_sorted_mean_equals_unsorted():
     b = np.asarray(masked_segment_mean(jnp.asarray(vals), jnp.asarray(dst),
                                        count, T, sorted_dst=False))
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_scan_segment_sum_matches_scatter():
+    from salient_plusplus_tpu.ops.segment import sorted_segment_sum_scan
+
+    rng = np.random.default_rng(7)
+    E, T, F = 300, 29, 6
+    dst = np.sort(rng.integers(0, T, E)).astype(np.int32)
+    vals = rng.normal(size=(E, F)).astype(np.float32)
+    count = jnp.int32(250)
+    a = np.asarray(sorted_segment_sum_scan(jnp.asarray(vals),
+                                           jnp.asarray(dst), count, T))
+    b = np.asarray(masked_segment_sum(jnp.asarray(vals), jnp.asarray(dst),
+                                      count, T))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
