@@ -42,7 +42,7 @@ class RunConfig:
     # factor 0.8; stepped with the cross-rank-averaged epoch loss)
     use_lrs: bool = False
     lrs_factor: float = 0.8
-    lrs_patience: int = 10
+    lrs_patience: int = 1000  # reference default (driver/parser.py:76)
 
     # --- run shape (driver/parser.py:76-103) ---
     epochs: int = 25
@@ -84,6 +84,12 @@ class RunConfig:
     performance_stats: bool = True      # region stats reporting
     collect_data: bool = False          # DataCollector npz dumps
     verbose: bool = False               # mirror log events to stdout
+
+    @property
+    def effective_patience(self) -> int:
+        """LR-scheduler patience: --patience wins when given (including 0),
+        else the lrs_patience default (driver/parser.py:74,76)."""
+        return self.patience if self.patience is not None else self.lrs_patience
 
     def replace(self, **kw) -> "RunConfig":
         return dataclasses.replace(self, **kw)

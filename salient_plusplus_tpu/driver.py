@@ -89,10 +89,14 @@ def run_computation(cfg, graph, job_dir: str, logger):
 
             trainer = DistributedTrainer(cfg, graph, labels, mesh=mesh,
                                          logger=logger)
+            # vary init/shuffle per trial — otherwise every trial is
+            # bit-identical (single-device path does this via reset())
+            if trial:
+                trainer._init_state(trial_seed=trial)
             if cfg.computation_mode == "frequency_cache":
                 trainer.create_cache()
             scheduler = (ReduceLROnPlateau(cfg.lrs_factor,
-                                  cfg.patience or cfg.lrs_patience)
+                                           cfg.effective_patience)
                          if cfg.use_lrs else None)
             best_acc, best_epoch = 0.0, -1
             start_epoch = 0
@@ -117,6 +121,11 @@ def run_computation(cfg, graph, job_dir: str, logger):
                         if jax.process_index() == 0:
                             ckpt.save(job_dir, trainer.state, trial, epoch,
                                       acc)
+            # score the best-validation model, not the last epoch
+            # (driver/main.py:220-235 reloads the best checkpoint)
+            if best_epoch >= 0:
+                trainer.state = ckpt.restore(job_dir, trainer.state,
+                                             trial, best_epoch)
             final_valid = trainer.evaluate("valid")
             final_test = trainer.evaluate("test")
         else:

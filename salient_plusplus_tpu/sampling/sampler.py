@@ -161,6 +161,7 @@ class FastSamplerIter:
                     if dropped:
                         self.stats.dropped_nodes += dropped
             except BaseException as e:  # surface in the consumer, don't hang
+                self._free.put(bufs)  # keep the pool at full capacity
                 self._out.put((bno, e))
                 return
             self.stats.sample_time += time.perf_counter() - t0
@@ -202,6 +203,13 @@ class FastSamplerIter:
 
     def close(self):
         self._shutdown.set()
+        # abandon unprocessed work so exiting workers don't leave batch
+        # numbers that would block a later consumer
+        try:
+            while True:
+                self._work.get_nowait()
+        except queue.Empty:
+            pass
         # unblock any worker waiting on a free buffer
         for _ in self._threads:
             self._free.put(None)

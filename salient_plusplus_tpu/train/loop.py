@@ -273,7 +273,9 @@ class Trainer:
     def evaluate(self, split: str) -> float:
         """Batchwise accuracy on a split (base.py:440-525 analog)."""
         sampler = self._eval_sampler(split)
-        sampler.set_epoch(self.graph.split_idx[split], 0)
+        # NOTE: the sampler was constructed with the *shuffled* split index;
+        # re-installing the sorted split here would re-create the
+        # degree/VIP-correlated batches the shuffle exists to avoid.
         it = iter(sampler)
         feeder = DeviceFeeder(it, sharding=self.device, depth=2)
         correct = total = 0
@@ -281,6 +283,9 @@ class Trainer:
             c, t = self.eval_step(self.state, self.features, batch)
             correct += int(c)
             total += int(t)
+        if it.stats.dropped_nodes or it.stats.dropped_edges:
+            self.logger.log("EVAL_SAMPLER_OVERFLOW", split,
+                            it.stats.dropped_nodes, it.stats.dropped_edges)
         return correct / max(total, 1)
 
     def run_trial(self, trial: int = 0,
@@ -294,8 +299,7 @@ class Trainer:
         self.reset(trial_seed=trial)
         res = TrialResult()
         best_state = None
-        scheduler = (ReduceLROnPlateau(cfg.lrs_factor,
-                                  cfg.patience or cfg.lrs_patience)
+        scheduler = (ReduceLROnPlateau(cfg.lrs_factor, cfg.effective_patience)
                      if cfg.use_lrs else None)
         for epoch in range(cfg.epochs):
             t0 = time.perf_counter()
