@@ -26,6 +26,19 @@ import numpy as np
 SPLIT_NAMES = ("train", "valid", "test")
 
 
+def pad_feature_dim(x: np.ndarray, align: int = 128) -> np.ndarray:
+    """Zero-pad the feature (lane) dimension to a multiple of ``align``.
+
+    TPU memrefs tile the last dimension by 128; the MXU aggregation
+    kernel (ops/mxu_segment.py) DMAs feature-row chunks, so trainers pad
+    the feature table once at setup. Zero columns are accuracy-neutral.
+    """
+    pad = (-x.shape[1]) % align
+    if pad == 0:
+        return x
+    return np.pad(np.asarray(x), ((0, 0), (0, pad)))
+
+
 @dataclass
 class GraphData:
     """A full (unpartitioned) graph dataset resident in host memory."""

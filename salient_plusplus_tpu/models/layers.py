@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.mxu_segment import mxu_spmm_enabled, spmm_agg
 from ..ops.segment import (
     gather_rows,
     masked_segment_mean,
@@ -32,6 +33,20 @@ from ..ops.segment import (
 from ..sampling.batch import EdgeBlock
 
 Dtype = Any
+
+
+def _agg(x, edge: EdgeBlock, out_cap: int, mean: bool):
+    """Gather-and-aggregate one hop: MXU one-hot-matmul kernel path
+    (scatter-free fwd + mirrored bwd, ops/mxu_segment.py) on TPU, XLA
+    segment ops elsewhere."""
+    if mxu_spmm_enabled():
+        return spmm_agg(x, edge, out_cap, mean=mean)
+    msg = gather_rows(x, edge.src)
+    if mean:
+        return masked_segment_mean(msg, edge.dst, edge.count, out_cap,
+                                   sorted_dst=True)
+    return masked_segment_sum(msg, edge.dst, edge.count, out_cap,
+                              sorted_dst=True)
 
 
 def _dense(feat, use_bias, dtype, param_dtype, name):
@@ -51,9 +66,7 @@ class SAGEConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, x_target, edge: EdgeBlock, out_cap: int):
-        msg = gather_rows(x, edge.src)
-        agg = masked_segment_mean(msg, edge.dst, edge.count, out_cap,
-                                  sorted_dst=True)
+        agg = _agg(x, edge, out_cap, mean=True)
         out = _dense(self.features, self.use_bias, self.dtype,
                      self.param_dtype, "lin_l")(agg)
         out = out + _dense(self.features, False, self.dtype,
@@ -113,9 +126,8 @@ class GINConv(nn.Module):
     @nn.compact
     def __call__(self, x, x_target, edge: EdgeBlock, out_cap: int,
                  valid_count=None, training: bool = False):
-        agg = masked_segment_sum(gather_rows(x, edge.src), edge.dst,
-                                 edge.count, out_cap, sorted_dst=True)
-        h = (1.0 + self.eps) * x_target + agg
+        agg = _agg(x, edge, out_cap, mean=False)
+        h = (1.0 + self.eps) * x_target + agg.astype(x.dtype)
         h = _dense(self.features, True, self.dtype, self.param_dtype,
                    "fc0")(h)
         h = MaskedBatchNorm(dtype=self.dtype, param_dtype=self.param_dtype,
@@ -141,8 +153,7 @@ class GCNConv(nn.Module):
     def __call__(self, x, edge: EdgeBlock, out_rows: int):
         h = _dense(self.features, False, self.dtype, self.param_dtype,
                    "lin")(x)
-        return masked_segment_sum(gather_rows(h, edge.src), edge.dst,
-                                  edge.count, out_rows, sorted_dst=True)
+        return _agg(h, edge, out_rows, mean=False).astype(h.dtype)
 
 
 class ARMAConv(nn.Module):

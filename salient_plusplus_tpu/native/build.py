@@ -23,8 +23,12 @@ def lib_path(rebuild: bool = False) -> str:
             or not os.path.exists(_LIB)
             or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
         ):
+            # NOTE: no -march=native — binaries built with it crash when
+            # the process has also initialized Pallas/libtpu (observed on
+            # GKE: ISA state interaction; plain -O3 is ~equal for this
+            # memcpy/branch-bound workload and always safe).
             cmd = [
-                "g++", "-O3", "-march=native", "-std=c++17", "-shared",
+                "g++", "-O3", "-std=c++17", "-shared",
                 "-fPIC", "-o", _LIB, _SRC,
             ]
             subprocess.run(cmd, check=True, capture_output=True, text=True)

@@ -15,7 +15,7 @@
 // the reference's in-C++ thread pool + lock-free queues (fast_sampler.cpp:
 // 368-513) with a simpler design of equal capability.
 //
-// Build: g++ -O3 -march=native -shared -fPIC -std=c++17 sampler.cpp -o libsptpu.so
+// Build: g++ -O3 -shared -fPIC -std=c++17 sampler.cpp -o libsptpu.so
 
 #include <algorithm>
 #include <cstdint>
@@ -146,7 +146,8 @@ void sptpu_ws_destroy(void* p) { delete static_cast<Workspace*>(p); }
 // Returns 0 on success.
 int32_t sptpu_sample_batch(
     void* ws_ptr, const int64_t* rowptr, const int32_t* col,
-    const int64_t* seeds, int32_t num_seeds, const int32_t* fanouts,
+    int64_t num_nodes, const int64_t* seeds, int32_t num_seeds,
+    const int32_t* fanouts,
     int32_t num_hops, uint64_t rng_seed, const int32_t* node_caps,
     const int64_t* edge_offsets, const int32_t* edge_caps, int32_t* out_n_id,
     int32_t* out_level_sizes, int32_t* out_edge_src, int32_t* out_edge_dst,
@@ -160,6 +161,7 @@ int32_t sptpu_sample_batch(
   const int32_t total_cap = node_caps[num_hops];
   if (num_seeds > node_caps[0]) return 1;
   for (int32_t i = 0; i < num_seeds; ++i) {
+    if (seeds[i] < 0 || seeds[i] >= num_nodes) return 3;  // out-of-range seed
     bool ins;
     ws.get_or_insert((int32_t)seeds[i], n, &ins);
     if (!ins) return 2;  // duplicate seeds
@@ -239,6 +241,33 @@ int32_t sptpu_sample_batch(
   out_overflow[0] = dropped_nodes;
   out_overflow[1] = dropped_edges;
   return 0;
+}
+
+// Build the src-sorted mirror of one hop's padded COO via counting sort.
+//
+// Input: (src, dst) with `count` real edges in the first slots of a
+// `cap`-sized buffer. Output: msrc = src values ascending (stable), mdst =
+// the matching dst values; pad slots get msrc = in_cap (dropping them in
+// sorted-segment reductions, mirroring the dst padding convention above)
+// and mdst = 0. The mirror lets the device run the backward aggregation
+// as a second sorted-CSR pass (transposed adjacency) instead of a
+// scatter — the TPU-side reason this exists (ops/mxu_segment.py).
+// `counts_ws` must hold in_cap+1 int32 (caller-provided scratch).
+void sptpu_mirror_by_src(const int32_t* src, const int32_t* dst,
+                         int32_t count, int32_t cap, int32_t in_cap,
+                         int32_t* counts_ws, int32_t* msrc, int32_t* mdst) {
+  std::memset(counts_ws, 0, sizeof(int32_t) * (size_t)(in_cap + 1));
+  for (int32_t e = 0; e < count; ++e) ++counts_ws[src[e] + 1];
+  for (int32_t s = 0; s < in_cap; ++s) counts_ws[s + 1] += counts_ws[s];
+  for (int32_t e = 0; e < count; ++e) {
+    const int32_t p = counts_ws[src[e]]++;
+    msrc[p] = src[e];
+    mdst[p] = dst[e];
+  }
+  for (int32_t e = count; e < cap; ++e) {
+    msrc[e] = in_cap;
+    mdst[e] = 0;
+  }
 }
 
 // Row-gather of a 2-D row-major array: out[i, :] = in[idx[i], :].

@@ -75,25 +75,35 @@ class BatchSpec:
     def from_measurements(cls, batch_size: int, fanouts: Sequence[int],
                           level_sizes_max: Sequence[int],
                           edge_counts_max: Sequence[int],
-                          safety: float = 1.3, align: int = 128) -> "BatchSpec":
-        def rnd(v):
-            return max(align, int(math.ceil(v * safety / align)) * align)
+                          safety: float = 1.3, align: int = 128,
+                          edge_align: int = 512) -> "BatchSpec":
+        def rnd(v, a):
+            return max(a, int(math.ceil(v * safety / a)) * a)
 
         node_caps = [max(batch_size, int(level_sizes_max[0]))]
-        node_caps += [rnd(v) for v in level_sizes_max[1:]]
+        node_caps += [rnd(v, align) for v in level_sizes_max[1:]]
         # caps must stay monotone after rounding
         for i in range(1, len(node_caps)):
             node_caps[i] = max(node_caps[i], node_caps[i - 1])
-        edge_caps = [rnd(v) for v in edge_counts_max]
+        # edge caps align to the MXU segment kernel's DMA chunk so the hot
+        # path never pads (ops/mxu_segment.py G)
+        edge_caps = [rnd(v, edge_align) for v in edge_counts_max]
         return cls(tuple(fanouts), batch_size, tuple(node_caps), tuple(edge_caps))
 
 
 class EdgeBlock(struct.PyTreeNode):
-    """One hop's padded bipartite COO. Padded slots hold index 0."""
+    """One hop's padded bipartite COO, target-grouped (dst nondecreasing,
+    pads = out-level cap). ``msrc/mdst`` is the src-sorted mirror of the
+    same edges (msrc ascending, pads = in-level cap) used by the
+    scatter-free backward aggregation (ops/mxu_segment.py); it is omitted
+    (None) for the outermost hop, whose raw-feature input carries no
+    gradient."""
 
     src: "np.ndarray"     # int32 [E_cap] — index into input frontier
     dst: "np.ndarray"     # int32 [E_cap] — index into output (target) frontier
     count: "np.ndarray"   # int32 [] — actual number of edges
+    msrc: "np.ndarray" = None   # int32 [E_cap] sorted srcs (or None)
+    mdst: "np.ndarray" = None   # int32 [E_cap] dsts in msrc order (or None)
 
 
 class PaddedBatch(struct.PyTreeNode):
@@ -143,7 +153,9 @@ def batch_shape_dtypes(spec: BatchSpec):
     L = spec.num_hops
     edges = tuple(
         EdgeBlock(src=sd((spec.edge_caps[h],)), dst=sd((spec.edge_caps[h],)),
-                  count=sd(()))
+                  count=sd(()),
+                  msrc=sd((spec.edge_caps[h],)) if h < L - 1 else None,
+                  mdst=sd((spec.edge_caps[h],)) if h < L - 1 else None)
         for h in reversed(range(L))
     )
     return PaddedBatch(

@@ -27,9 +27,14 @@ def _load_lib():
     lib.sptpu_ws_destroy.argtypes = [ctypes.c_void_p]
     lib.sptpu_sample_batch.restype = ctypes.c_int32
     lib.sptpu_sample_batch.argtypes = [
-        ctypes.c_void_p, _c_i64p, _c_i32p, _c_i64p, ctypes.c_int32,
+        ctypes.c_void_p, _c_i64p, _c_i32p, ctypes.c_int64, _c_i64p,
+        ctypes.c_int32,
         _c_i32p, ctypes.c_int32, ctypes.c_uint64, _c_i32p, _c_i64p, _c_i32p,
         _c_i32p, _c_i32p, _c_i32p, _c_i32p, _c_i32p, _c_i32p,
+    ]
+    lib.sptpu_mirror_by_src.argtypes = [
+        _c_i32p, _c_i32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        _c_i32p, _c_i32p, _c_i32p,
     ]
     lib.sptpu_gather_rows.argtypes = [
         ctypes.c_void_p, _c_i64p, ctypes.c_int64, ctypes.c_int64,
@@ -73,6 +78,12 @@ class BatchBuffers:
         self.edge_offsets = np.zeros(L + 1, np.int64)
         np.cumsum(np.asarray(spec.edge_caps, np.int64), out=self.edge_offsets[1:])
         self.overflow = np.zeros(2, np.int32)
+        # src-sorted mirrors for hops 0..L-2 (backward aggregation runs the
+        # transposed-CSR MXU kernel; the last hop feeds model layer 0 whose
+        # raw-feature input carries no gradient, so it needs no mirror)
+        self.mirror_src = np.zeros(self.edge_offsets[L - 1], np.int32) \
+            if L > 1 else np.zeros(0, np.int32)
+        self.mirror_dst = np.zeros_like(self.mirror_src)
         self.y = np.zeros(spec.seed_cap, np.int32)
         self.seed_count = np.int32(0)
         # host-tier (cold) feature buffers; attached only when a hot/cold
@@ -134,6 +145,10 @@ class BatchBuffers:
                 src=self.edge_src[off[h]:off[h + 1]],
                 dst=self.edge_dst[off[h]:off[h + 1]],
                 count=self.edge_counts[h],
+                msrc=(self.mirror_src[off[h]:off[h + 1]]
+                      if h < L - 1 else None),
+                mdst=(self.mirror_dst[off[h]:off[h + 1]]
+                      if h < L - 1 else None),
             )
             for h in reversed(range(L))
         )
@@ -155,6 +170,13 @@ class NativeSampler:
         self.col = np.ascontiguousarray(col)
         self.lib = get_lib()
         self._local = threading.local()
+
+    def _mirror_ws(self, in_cap: int) -> np.ndarray:
+        ws = getattr(self._local, "mirror_ws", None)
+        if ws is None or ws.shape[0] < in_cap + 1:
+            ws = np.empty(in_cap + 1, np.int32)
+            self._local.mirror_ws = ws
+        return ws
 
     def _workspace(self, max_nodes: int):
         ws = getattr(self._local, "ws", None)
@@ -182,6 +204,7 @@ class NativeSampler:
         rc = self.lib.sptpu_sample_batch(
             ws,
             _ptr(self.rowptr, _c_i64p), _ptr(self.col, _c_i32p),
+            ctypes.c_int64(self.rowptr.shape[0] - 1),
             _ptr(seeds, _c_i64p), ctypes.c_int32(len(seeds)),
             _ptr(fanouts, _c_i32p), ctypes.c_int32(spec.num_hops),
             ctypes.c_uint64(rng_seed & (2**64 - 1)),
@@ -193,7 +216,22 @@ class NativeSampler:
         )
         if rc != 0:
             raise RuntimeError(f"sptpu_sample_batch failed rc={rc} "
-                               f"(1=too many seeds, 2=duplicate seeds)")
+                               f"(1=too many seeds, 2=duplicate seeds, "
+                               f"3=seed out of range)")
+        # src-sorted mirrors for all but the outermost hop
+        for h in range(spec.num_hops - 1):
+            in_cap = int(node_caps[h + 1])
+            ws = self._mirror_ws(in_cap)
+            off = int(bufs.edge_offsets[h])
+            self.lib.sptpu_mirror_by_src(
+                _ptr(bufs.edge_src[off:], _c_i32p),
+                _ptr(bufs.edge_dst[off:], _c_i32p),
+                ctypes.c_int32(int(bufs.edge_counts[h])),
+                ctypes.c_int32(int(spec.edge_caps[h])),
+                ctypes.c_int32(in_cap),
+                _ptr(ws, _c_i32p),
+                _ptr(bufs.mirror_src[off:], _c_i32p),
+                _ptr(bufs.mirror_dst[off:], _c_i32p))
         bufs.seed_count = np.int32(len(seeds))
         if y_global is not None:
             ns = len(seeds)

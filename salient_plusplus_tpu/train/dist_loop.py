@@ -78,6 +78,12 @@ class DistributedTrainer:
             x_all = _x_all if _x_all is not None else (
                 x_local if len(x_local) == self.world else None)
             assert pg.num_parts == self.world
+        from ..data.dataset import pad_feature_dim
+
+        # lane-align the feature dim once (MXU kernel DMA requirement)
+        x_local = [pad_feature_dim(np.asarray(s)) for s in x_local]
+        if x_all is not None:
+            x_all = [pad_feature_dim(np.asarray(s)) for s in x_all]
         self.pg = pg
         self.old2new = old2new
         self.part_offsets = np.asarray(pg.part_offsets, np.int32)
@@ -259,7 +265,7 @@ class DistributedTrainer:
     def _init_state(self, trial_seed: int = 0):
         ex_seeds = self.pg.split_idx["train"][: self.cfg.train_batch_size]
         ex = self.native.sample(self.train_spec, ex_seeds, rng_seed=7)
-        xs_host = np.zeros((ex.n_id.shape[0], self.pg.num_features),
+        xs_host = np.zeros((ex.n_id.shape[0], self.features.shape[1]),
                            np.float32)
         ex_dev = jax.device_put(ex)
         self.state = create_train_state(

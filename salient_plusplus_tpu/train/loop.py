@@ -118,7 +118,9 @@ class Trainer:
         V = graph.num_nodes
         self.hot_cutoff = (None if cfg.hbm_fraction >= 1.0
                            else max(1, int(V * cfg.hbm_fraction)))
-        x_np = np.asarray(graph.x)
+        from ..data.dataset import pad_feature_dim
+
+        x_np = pad_feature_dim(np.asarray(graph.x))
         if self.hot_cutoff is not None:
             self.x_cold = np.ascontiguousarray(x_np[self.hot_cutoff:])
             cold_cap = self._calibrate_cold_cap(train_idx)
