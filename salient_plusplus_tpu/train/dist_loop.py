@@ -11,6 +11,7 @@ host feeding its addressable devices.
 
 from __future__ import annotations
 
+import time
 from typing import Dict, Optional
 
 import jax
@@ -191,6 +192,7 @@ class DistributedTrainer:
             cfg.model_name, pg.num_features, cfg.hidden_features,
             pg.num_classes, cfg.num_layers, cfg.dropout)
         self.cache: Optional[DeviceCache] = None
+        self._cache_ids_host = None
         self._build_steps(with_cache=False)
         self._init_state()
 
@@ -220,28 +222,51 @@ class DistributedTrainer:
                    _x_local=x_local)
 
     # ------------------------------------------------------------------
-    def _calibrate_r_cap(self, spec=None) -> int:
+    def _calibrate_r_cap(self, spec=None, cache_ids=None,
+                         split: str = "train") -> int:
         """Measure max per-destination remote count over probe batches
         of the given spec (eval specs have far larger frontiers than the
-        train spec — each needs its own request budget)."""
+        train spec — each needs its own request budget).
+
+        Probes every device's actual seed pool (federated pools differ per
+        partition) and, when ``cache_ids`` (per-device sorted global id
+        arrays) is given, excludes cache hits — the post-cache budget is
+        what makes VIP caching shrink the real all_to_all payload
+        (reference parity: transferers.py:507-531, where payloads shrink
+        with cache hits)."""
         spec = spec or self.train_spec
         rng = np.random.default_rng(self.cfg.seed + 5)
-        pool = self.pg.split_idx["train"]
+        probes = max(4, self.cfg.calibration_batches // 2)
         worst = 128
-        for i in range(4):
-            take = min(spec.seed_cap, len(pool))
-            seeds = np.sort(rng.choice(pool, take, replace=False))
-            b = self.native.sample(spec, seeds, rng_seed=50 + i)
-            n = int(b.level_sizes[-1])
-            owner = np.searchsorted(self.part_offsets[1:], b.n_id[:n],
-                                    side="right")
-            cnt = np.bincount(owner, minlength=self.world)
-            worst = max(worst, int(cnt.max()))
+        federated = self.cfg.load_balance_scheme == "federated"
+        for d in range(self.world):
+            pool = (self.pg.split_idx_parts[d][split] if federated
+                    else self.pg.split_idx[split])
+            if len(pool) == 0:
+                continue
+            for i in range(probes):
+                take = min(spec.seed_cap, len(pool))
+                seeds = np.sort(rng.choice(pool, take, replace=False))
+                b = self.native.sample(spec, seeds, rng_seed=50 + i)
+                n = int(b.level_sizes[-1])
+                ids = b.n_id[:n]
+                owner = np.searchsorted(self.part_offsets[1:], ids,
+                                        side="right")
+                remote = owner != d
+                if self.hot_size is not None:
+                    # cold rows never ride the exchange
+                    remote &= (ids % self.part_size) < self.hot_size
+                if cache_ids is not None:
+                    pos = np.searchsorted(cache_ids[d], ids)
+                    pos = np.clip(pos, 0, len(cache_ids[d]) - 1)
+                    remote &= cache_ids[d][pos] != ids
+                cnt = np.bincount(owner[remote], minlength=self.world)
+                worst = max(worst, int(cnt.max()))
         return int(-(-int(worst * self.cfg.spec_safety) // 128) * 128)
 
-    def _calibrate_cold_cap(self, spec, align: int = 128) -> int:
+    def _calibrate_cold_cap(self, spec, pool=None, align: int = 128) -> int:
         rng = np.random.default_rng(self.cfg.seed + 21)
-        pool = self.pg.split_idx["train"]
+        pool = pool if pool is not None else self.pg.split_idx["train"]
         worst = align
         for i in range(3):
             take = min(spec.seed_cap, len(pool))
@@ -308,15 +333,23 @@ class DistributedTrainer:
             return None
         if num >= 128:  # 128-align when there is room
             num = (num // 128) * 128
-        ids = np.stack([np.sort(cached[d][:num]).astype(np.int32)
-                        for d in self.local_ranks])
+        all_ids = [np.sort(cached[d][:num]).astype(np.int32)
+                   for d in range(self.world)]
+        ids = np.stack([all_ids[d] for d in self.local_ranks])
         rows = self._fetch_rows_spmd(ids)
         self.cache = DeviceCache(self._to_global(ids), rows)
+        # recalibrate the request budget cache-aware: the all_to_all
+        # payload is [world, r_cap, F] — without this, caching changes a
+        # statistic but not one byte on the wire
+        old_r_cap = self.r_cap
+        self.r_cap = self._calibrate_r_cap(cache_ids=all_ids)
         self._build_steps(with_cache=True)
         self.eval_specs.clear()  # eval steps must be rebuilt cache-aware
+        self._cache_ids_host = all_ids
         eff = num / max(self.pg.num_nodes / self.world, 1)
         self.logger.log("EFFECTIVE_CACHE_SIZE", num)
         self.logger.log("EFFECTIVE_REPLICATION_FACTOR", round(eff, 4))
+        self.logger.log("R_CAP_RECALIBRATED", old_r_cap, "->", self.r_cap)
         return self.cache
 
     def _fetch_rows_spmd(self, ids: np.ndarray) -> jnp.ndarray:
@@ -375,15 +408,20 @@ class DistributedTrainer:
         ex_accum = []  # device scalars; converted once at epoch end (a
         #                per-step D2H read is a network round-trip on
         #                remotely-attached TPUs)
+        sample_wait = assemble = 0.0
         with self.stats.region("train_epoch"):
             for step_i in range(n_iters):
+                t0 = time.perf_counter()
                 bufs = [next(it) for it in its]
+                t1 = time.perf_counter()
+                sample_wait += t1 - t0
                 stacked = stack_batches(
                     [b.to_padded_batch() for b in bufs])
                 stacked = jax.tree_util.tree_map(np.array, stacked)
                 dev = self._to_global(stacked)
                 for it, b in zip(its, bufs):
                     it.recycle(b)
+                assemble += time.perf_counter() - t1
                 self.state, loss, ex = self.train_step(
                     self.state, self.features, dev,
                     self.part_offsets_dev, self.cache)
@@ -391,6 +429,11 @@ class DistributedTrainer:
                 if ex is not None:
                     ex_accum.append(ex)
             jax.block_until_ready(self.state.params)
+        # per-stage shares (base.py:379 / utils.py:185-240 parity):
+        # sample_wait = host blocked on samplers; assemble = host batch
+        # stacking + H2D dispatch; remainder of the region = device-bound
+        self.stats.add("sample_wait", sample_wait)
+        self.stats.add("assemble_h2d", assemble)
         self.stats.end_epoch()
         if ex_accum:
             tot = jax.device_get(ex_accum)
@@ -404,11 +447,24 @@ class DistributedTrainer:
         for it in its:
             it.close()
         mean_loss = float(np.mean([float(l) for l in losses]))
+        # true wire payload: the all_to_all buffers are static — per step
+        # each device sends [world, r_cap] ids + [world, r_cap, F] rows
+        # (cache-aware r_cap recalibration is what shrinks this)
+        F = int(self.features.shape[1])
+        itemsize = jnp.dtype(self.features.dtype).itemsize
+        wire_bytes = n_iters * self.world * self.r_cap * (F * itemsize + 4)
         self.logger.log("NUM_SENT_BYTES", epoch, sent_bytes)
+        self.logger.log("WIRE_BYTES", epoch, wire_bytes, "r_cap", self.r_cap)
         self.logger.log("epoch", epoch, "loss", mean_loss,
                         "remote", remote, "cache_hits", cached_hits,
                         "local", local, "overflow", overflow)
+        if overflow:
+            # the reference never drops data (N9/N10); overflowed requests
+            # zero-fill rows — surface loudly so caps get recalibrated
+            self.logger.log("WARNING_TRAIN_OVERFLOW", epoch, overflow,
+                            "r_cap", self.r_cap)
         return {"loss": mean_loss, "sent_bytes": sent_bytes,
+                "wire_bytes": wire_bytes, "r_cap": self.r_cap,
                 "remote": remote, "cache_hits": cached_hits,
                 "local": local, "overflow": overflow,
                 "iters": n_iters}
@@ -429,7 +485,9 @@ class DistributedTrainer:
                 fanouts, cfg.calibration_batches, cfg.spec_safety,
                 cfg.seed + 99,
                 worst_case_probe=cfg.calibrate_worst_case)
-            e_rcap = self._calibrate_r_cap(espec)
+            e_rcap = self._calibrate_r_cap(
+                espec, cache_ids=getattr(self, "_cache_ids_host", None),
+                split=split)
             estep = make_spmd_eval_step(
                 self.mesh, "partitioned", r_cap=e_rcap,
                 with_cache=self.cache is not None, hot_size=self.hot_size)
@@ -447,14 +505,15 @@ class DistributedTrainer:
                     max_batches_in_flight=2,
                     exact_num_batches=n_iters,
                     x_cold=self.x_cold,
-                    cold_cap=(self._calibrate_cold_cap(spec)
+                    cold_cap=(self._calibrate_cold_cap(
+                        spec, pool=self.pg.split_idx[split])
                               if self.hot_size is not None else 0),
                     cold_part_size=(self.part_size if self.hot_size
                                     is not None else None),
                     cold_hot_size=self.hot_size),
                 idx=idx)
             its.append(iter(s))
-        correct = total = 0
+        acc = []  # device scalars; one D2H per split, not per batch
         for _ in range(n_iters):
             bufs = [next(it) for it in its]
             stacked = stack_batches([b.to_padded_batch() for b in bufs])
@@ -462,10 +521,11 @@ class DistributedTrainer:
             dev = self._to_global(stacked)
             for it, b in zip(its, bufs):
                 it.recycle(b)
-            c, t = eval_step(self.state, self.features, dev,
-                             self.part_offsets_dev, self.cache)
-            correct += int(c)
-            total += int(t)
+            acc.append(eval_step(self.state, self.features, dev,
+                                 self.part_offsets_dev, self.cache))
         for it in its:
             it.close()
+        pairs = jax.device_get(acc)
+        correct = sum(int(c) for c, _ in pairs)
+        total = sum(int(t) for _, t in pairs)
         return correct / max(total, 1)

@@ -50,6 +50,14 @@ def test_cache_cuts_remote_traffic(dist_trainer):
     assert after["cache_hits"] > 0
     assert after["remote"] < before["remote"]
     assert after["sent_bytes"] < before["sent_bytes"]
+    # cache-aware r_cap recalibration must shrink the REAL all_to_all
+    # payload, not just the useful-rows statistic (reference parity:
+    # transferers.py:507-531 — wire payloads genuinely shrink), and
+    # roughly in line with the measured remote-traffic reduction
+    assert after["r_cap"] < before["r_cap"], (before["r_cap"],
+                                              after["r_cap"])
+    assert after["wire_bytes"] < before["wire_bytes"]
+    assert after["overflow"] == 0
     # identity: every valid frontier vertex classified exactly once
     assert (after["remote"] + after["cache_hits"] + after["local"]) > 0
     # training still learns with the cache installed
