@@ -69,6 +69,11 @@ class RunConfig:
     cache_size: float = 0.1                  # replication budget, fraction of V/k
     cache_creation_epochs: int = 2
     hbm_fraction: float = 1.0                # gpu_percent analog (base.py:107-116)
+    # distributed cold tier: "owner" = each host stores only its own
+    # partitions' cold tails, rows fetched via a pre-step all_to_all
+    # (O(V/k) RAM/host; reference N7 parity); "replicated" = every host
+    # keeps all cold tails (zero mid-step cost, O(V·(1−f)) RAM/host)
+    cold_mode: str = "owner"
 
     # --- static-shape bucketing (TPU-specific; no reference analog) ---
     spec_safety: float = 1.3          # capacity head-room over calibrated max

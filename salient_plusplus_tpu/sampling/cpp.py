@@ -90,12 +90,53 @@ class BatchBuffers:
         # split is configured
         self.cold_rows = None
         self.cold_pos = None
+        self.cold_req = None
         self.cold_count = np.int32(0)
 
     def attach_cold(self, cold_cap: int, num_features: int, dtype):
         self.cold_rows = np.zeros((cold_cap, num_features), dtype)
         self.cold_pos = np.zeros(cold_cap, np.int32)
         self.cold_count = np.int32(0)
+
+    def attach_cold_requests(self, world: int, cold_r_cap: int):
+        """Owner-served cold tier: the sampler only *classifies* cold
+        frontier rows into per-owner request slots; rows are fetched from
+        the owning host's RAM through a device all_to_all before the step
+        (train/dist_loop.py cold exchange). Storage stays O(V/k) per host
+        (reference capability: async_slice_tensors,
+        fast_sampler.cpp:716-776)."""
+        self.cold_req = np.full((world, cold_r_cap), -1, np.int32)
+        self.cold_pos = np.zeros(world * cold_r_cap, np.int32)
+        self.cold_rows = None
+        self.cold_count = np.int32(0)
+
+    def fill_cold_requests(self, part_size: int, hot_size: int) -> int:
+        """Pack cold frontier vertices into the per-owner request matrix.
+
+        Slot (o, j) of ``cold_req`` carries the j-th cold global id owned
+        by partition o; ``cold_pos[o*cap+j]`` is its frontier slot (pad =
+        frontier cap, self-dropping in the device overlay scatter). The
+        exchanged response rows arrive in exactly this layout. Returns the
+        number of dropped (over-cap) cold rows."""
+        world, cap = self.cold_req.shape
+        n = int(self.level_sizes[-1])
+        ids = self.n_id[:n].astype(np.int64)
+        local = ids % part_size
+        pos = np.flatnonzero(local >= hot_size).astype(np.int32)
+        owner = (ids[pos] // part_size).astype(np.int32)
+        order = np.argsort(owner, kind="stable")
+        pos, owner = pos[order], owner[order]
+        cnt = np.bincount(owner, minlength=world)[:world]
+        starts = np.concatenate([[0], np.cumsum(cnt)[:-1]]).astype(np.int64)
+        rank = np.arange(len(owner)) - starts[owner]
+        keep = rank < cap
+        slot = owner[keep] * cap + rank[keep]
+        self.cold_req.fill(-1)
+        self.cold_pos.fill(self.n_id.shape[0])
+        self.cold_req.reshape(-1)[slot] = ids[pos[keep]].astype(np.int32)
+        self.cold_pos[slot] = pos[keep]
+        self.cold_count = np.int32(int(keep.sum()))
+        return int(len(owner) - int(keep.sum()))
 
     def _fill_cold_rows(self, x_cold, pos: np.ndarray,
                         cold_idx: np.ndarray) -> int:
@@ -156,7 +197,7 @@ class BatchBuffers:
             n_id=self.n_id, level_sizes=self.level_sizes, edges=edges,
             y=self.y, seed_count=self.seed_count, overflow=self.overflow,
             cold_rows=self.cold_rows, cold_pos=self.cold_pos,
-            cold_count=self.cold_count if self.cold_rows is not None else None,
+            cold_count=self.cold_count if self.cold_pos is not None else None,
             spec=spec,
         )
 

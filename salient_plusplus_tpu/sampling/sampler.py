@@ -90,6 +90,12 @@ class FastSamplerConfig:
     # sizes instead of hot_cutoff; x_cold = concat of all cold tails)
     cold_part_size: Optional[int] = None
     cold_hot_size: Optional[int] = None
+    # owner-served cold tier: classify cold rows into per-owner request
+    # slots instead of gathering from a host-replicated tail (rows are
+    # fetched via the pre-step cold all_to_all, train/dist_loop.py)
+    cold_owner_mode: bool = False
+    cold_world: int = 0
+    cold_r_cap: int = 0
 
 
 class FastSamplerIter:
@@ -121,7 +127,9 @@ class FastSamplerIter:
                    max(2, self.num_batches + 1))
         for _ in range(max(pool, 1)):
             bufs = BatchBuffers(cfg.spec)
-            if cfg.hot_cutoff is not None or cfg.cold_part_size is not None:
+            if cfg.cold_owner_mode:
+                bufs.attach_cold_requests(cfg.cold_world, cfg.cold_r_cap)
+            elif cfg.hot_cutoff is not None or cfg.cold_part_size is not None:
                 bufs.attach_cold(cfg.cold_cap, cfg.x_cold.shape[1],
                                  cfg.x_cold.dtype)
             self._free.put(bufs)
@@ -151,7 +159,12 @@ class FastSamplerIter:
                     rng_seed=batch_seed(cfg.base_seed, self.epoch, bno),
                     y_global=self.sampler.y,
                 )
-                if cfg.cold_part_size is not None:
+                if cfg.cold_owner_mode:
+                    dropped = bufs.fill_cold_requests(
+                        cfg.cold_part_size, cfg.cold_hot_size)
+                    if dropped:
+                        self.stats.dropped_nodes += dropped
+                elif cfg.cold_part_size is not None:
                     dropped = bufs.fill_cold_partitioned(
                         cfg.x_cold, cfg.cold_part_size, cfg.cold_hot_size)
                     if dropped:
@@ -238,14 +251,19 @@ class FastPreSampler:
 
         def work(bno):
             bufs = BatchBuffers(cfg.spec)
-            if cfg.hot_cutoff is not None or cfg.cold_part_size is not None:
+            if cfg.cold_owner_mode:
+                bufs.attach_cold_requests(cfg.cold_world, cfg.cold_r_cap)
+            elif cfg.hot_cutoff is not None or cfg.cold_part_size is not None:
                 bufs.attach_cold(cfg.cold_cap, cfg.x_cold.shape[1],
                                  cfg.x_cold.dtype)
             self.sampler.native.sample_into(
                 bufs, batches[bno],
                 rng_seed=batch_seed(cfg.base_seed, epoch, bno),
                 y_global=self.sampler.y)
-            if cfg.cold_part_size is not None:
+            if cfg.cold_owner_mode:
+                bufs.fill_cold_requests(cfg.cold_part_size,
+                                        cfg.cold_hot_size)
+            elif cfg.cold_part_size is not None:
                 bufs.fill_cold_partitioned(cfg.x_cold, cfg.cold_part_size,
                                            cfg.cold_hot_size)
             elif cfg.hot_cutoff is not None:

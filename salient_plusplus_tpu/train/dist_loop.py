@@ -101,20 +101,30 @@ class DistributedTrainer:
         # exchange only ever serves hot rows — no mid-step cross-host
         # slicing (the reference's N7 CPU round-trip disappears).
         S = int(self.part_offsets[1] - self.part_offsets[0])
+        self.x_cold = None
+        self.x_cold_own = None
         if cfg.hbm_fraction < 1.0:
             H = max(128, (int(S * cfg.hbm_fraction) // 128) * 128)
             assert H < S, (H, S)
             self.hot_size = H
-            assert x_all is not None and len(x_all) == self.world, (
-                "the distributed cold tier needs every partition's shard "
-                "on each host (cold tails are host-replicated)")
-            self.x_cold = np.ascontiguousarray(np.concatenate(
-                [np.asarray(sh)[H:] for sh in x_all], axis=0))
+            if cfg.cold_mode == "owner":
+                # owner-served tier: each local device keeps ONLY its own
+                # partition's cold tail in host RAM — O(V/k) per host;
+                # remote cold rows ride the pre-step cold all_to_all
+                self.x_cold_own = [
+                    np.ascontiguousarray(np.asarray(x_local[i])[H:])
+                    for i in range(len(x_local))
+                ]
+            else:
+                assert x_all is not None and len(x_all) == self.world, (
+                    "replicated cold tier needs every partition's shard "
+                    "on each host")
+                self.x_cold = np.ascontiguousarray(np.concatenate(
+                    [np.asarray(sh)[H:] for sh in x_all], axis=0))
             x_local = [np.asarray(x_local[i])[:H]
                        for i in range(len(x_local))]
         else:
             self.hot_size = None
-            self.x_cold = None
         self.part_size = S
 
         # row-sharded features: each host contributes its local partitions'
@@ -167,8 +177,16 @@ class DistributedTrainer:
             cfg.calibration_batches, cfg.spec_safety, cfg.seed,
             worst_case_probe=cfg.calibrate_worst_case)
         self.r_cap = self._calibrate_r_cap()
-        self.cold_cap = (self._calibrate_cold_cap(self.train_spec)
-                         if self.hot_size is not None else 0)
+        self._owner_cold = (self.hot_size is not None
+                            and cfg.cold_mode == "owner")
+        if self._owner_cold:
+            self.cold_cap = 0
+            self.cold_r_cap = self._calibrate_cold_r_cap(self.train_spec)
+        else:
+            self.cold_cap = (self._calibrate_cold_cap(self.train_spec)
+                             if self.hot_size is not None else 0)
+            self.cold_r_cap = 0
+        self._a2a = None  # lazily-built cold all_to_all program
         self.eval_specs: Dict = {}
 
         self.samplers = [
@@ -184,7 +202,10 @@ class DistributedTrainer:
                     x_cold=self.x_cold, cold_cap=self.cold_cap,
                     cold_part_size=(self.part_size if self.hot_size
                                     is not None else None),
-                    cold_hot_size=self.hot_size))
+                    cold_hot_size=self.hot_size,
+                    cold_owner_mode=self._owner_cold,
+                    cold_world=self.world,
+                    cold_r_cap=self.cold_r_cap))
             for d in self.local_ranks
         ]
 
@@ -263,6 +284,60 @@ class DistributedTrainer:
                 cnt = np.bincount(owner[remote], minlength=self.world)
                 worst = max(worst, int(cnt.max()))
         return int(-(-int(worst * self.cfg.spec_safety) // 128) * 128)
+
+    def _calibrate_cold_r_cap(self, spec, pool=None,
+                              align: int = 128) -> int:
+        """Owner-served tier: max per-OWNER cold-row count over probe
+        batches — the static request budget of the cold all_to_all."""
+        rng = np.random.default_rng(self.cfg.seed + 29)
+        pool = pool if pool is not None else self.pg.split_idx["train"]
+        worst = align
+        for i in range(max(3, self.cfg.calibration_batches // 2)):
+            take = min(spec.seed_cap, len(pool))
+            seeds = np.sort(rng.choice(pool, take, replace=False))
+            b = self.native.sample(spec, seeds, rng_seed=70 + i)
+            n = int(b.level_sizes[-1])
+            ids = b.n_id[:n].astype(np.int64)
+            cold = (ids % self.part_size) >= self.hot_size
+            cnt = np.bincount((ids[cold] // self.part_size),
+                              minlength=self.world)
+            worst = max(worst, int(cnt.max()))
+        return int(-(-int(worst * self.cfg.spec_safety) // align) * align)
+
+    def _exchange_cold(self, reqs, cap: int):
+        """Fetch cold rows from their owners: ids all_to_all → host gather
+        from each device's OWN cold tail → rows all_to_all back. Returns a
+        mesh-sharded [ndev, world*cap, F] array aligned with the packed
+        cold_pos layout (owner-served tier; reference N7 capability,
+        fast_sampler.cpp:716-776, without the replicated-RAM cost)."""
+        from ..sampling.cpp import gather_rows
+
+        if self._a2a is None:
+            def xch(a):
+                return jax.lax.all_to_all(a[0], DATA_AXIS, split_axis=0,
+                                          concat_axis=0, tiled=True)[None]
+
+            self._a2a = jax.jit(jax.shard_map(
+                xch, mesh=self.mesh, in_specs=P(DATA_AXIS),
+                out_specs=P(DATA_AXIS), check_vma=False))
+        ids_glob = self._to_global(np.stack(reqs))       # [ndev, world, cap]
+        recv = self._a2a(ids_glob)
+        F = int(self.x_cold_own[0].shape[1])
+        rows = np.zeros((len(self.local_ranks), self.world, cap, F),
+                        self.x_cold_own[0].dtype)
+        # serve from each local device's own tail (multi-process safe:
+        # only addressable shards are read)
+        for sh in recv.addressable_shards:
+            d = sh.index[0].start or 0
+            li = self.local_ranks.index(d)
+            got = np.asarray(sh.data)[0]                 # [world, cap]
+            m = got >= 0
+            if m.any():
+                idx = ((got[m].astype(np.int64) % self.part_size)
+                       - self.hot_size)
+                rows[li][m] = gather_rows(self.x_cold_own[li], idx)
+        resp = self._a2a(self._to_global(rows))          # [ndev, world, cap, F]
+        return resp.reshape(resp.shape[0], self.world * cap, F)
 
     def _calibrate_cold_cap(self, spec, pool=None, align: int = 128) -> int:
         rng = np.random.default_rng(self.cfg.seed + 21)
@@ -418,9 +493,14 @@ class DistributedTrainer:
                 stacked = stack_batches(
                     [b.to_padded_batch() for b in bufs])
                 stacked = jax.tree_util.tree_map(np.array, stacked)
+                cold_reqs = ([b.cold_req.copy() for b in bufs]
+                             if self._owner_cold else None)
                 dev = self._to_global(stacked)
                 for it, b in zip(its, bufs):
                     it.recycle(b)
+                if cold_reqs is not None:
+                    dev = dev.replace(cold_rows=self._exchange_cold(
+                        cold_reqs, self.cold_r_cap))
                 assemble += time.perf_counter() - t1
                 self.state, loss, ex = self.train_step(
                     self.state, self.features, dev,
@@ -488,11 +568,14 @@ class DistributedTrainer:
             e_rcap = self._calibrate_r_cap(
                 espec, cache_ids=getattr(self, "_cache_ids_host", None),
                 split=split)
+            e_cold_rcap = (self._calibrate_cold_r_cap(
+                espec, pool=self.pg.split_idx[split])
+                if self._owner_cold else 0)
             estep = make_spmd_eval_step(
                 self.mesh, "partitioned", r_cap=e_rcap,
                 with_cache=self.cache is not None, hot_size=self.hot_size)
-            self.eval_specs[key] = (espec, estep)
-        spec, eval_step = self.eval_specs[key]
+            self.eval_specs[key] = (espec, estep, e_cold_rcap)
+        spec, eval_step, e_cold_rcap = self.eval_specs[key]
         its = []
         for d in self.local_ranks:
             idx = self.pg.split_idx_parts[d][split]
@@ -507,10 +590,14 @@ class DistributedTrainer:
                     x_cold=self.x_cold,
                     cold_cap=(self._calibrate_cold_cap(
                         spec, pool=self.pg.split_idx[split])
-                              if self.hot_size is not None else 0),
+                        if self.hot_size is not None
+                        and not self._owner_cold else 0),
                     cold_part_size=(self.part_size if self.hot_size
                                     is not None else None),
-                    cold_hot_size=self.hot_size),
+                    cold_hot_size=self.hot_size,
+                    cold_owner_mode=self._owner_cold,
+                    cold_world=self.world,
+                    cold_r_cap=e_cold_rcap),
                 idx=idx)
             its.append(iter(s))
         acc = []  # device scalars; one D2H per split, not per batch
@@ -518,9 +605,14 @@ class DistributedTrainer:
             bufs = [next(it) for it in its]
             stacked = stack_batches([b.to_padded_batch() for b in bufs])
             stacked = jax.tree_util.tree_map(np.array, stacked)
+            cold_reqs = ([b.cold_req.copy() for b in bufs]
+                         if self._owner_cold else None)
             dev = self._to_global(stacked)
             for it, b in zip(its, bufs):
                 it.recycle(b)
+            if cold_reqs is not None:
+                dev = dev.replace(cold_rows=self._exchange_cold(
+                    cold_reqs, e_cold_rcap))
             acc.append(eval_step(self.state, self.features, dev,
                                  self.part_offsets_dev, self.cache))
         for it in its:

@@ -129,8 +129,9 @@ def test_from_partitioned_on_disk(tmp_path):
 
 
 def test_distributed_cold_tier_equivalent():
-    """hbm_fraction<1 in distributed mode (host-replicated cold tails) must
-    bit-match the all-HBM run."""
+    """hbm_fraction<1 in distributed mode must bit-match the all-HBM run —
+    both with host-replicated cold tails and with the owner-served tier
+    (per-host storage O(V/k); reference N7, fast_sampler.cpp:716-776)."""
     import jax
 
     g = synthetic.planted_partition(
@@ -140,28 +141,43 @@ def test_distributed_cold_tier_equivalent():
 
     labels = contiguous_partition(g.num_nodes, WORLD)
 
-    def run(frac):
+    def run(frac, mode="replicated"):
         cfg = RunConfig(
             train_batch_size=64, train_fanouts=[4, 3],
             batchwise_test_fanouts=[5, 5], final_test_fanouts=[5, 5],
             hidden_features=16, num_layers=2, lr=0.01, num_workers=2,
             calibration_batches=2, seed=6, hbm_fraction=frac,
+            cold_mode=mode,
         )
         t = DistributedTrainer(cfg, g, labels, mesh=make_mesh(WORLD))
         m = t.train_epoch(0)
         acc = t.evaluate("valid")
-        return (jax.tree_util.tree_map(np.asarray, t.state.params), m, acc)
+        return (jax.tree_util.tree_map(np.asarray, t.state.params),
+                m, acc, t)
 
-    p_full, m_full, acc_full = run(1.0)
-    p_half, m_half, acc_half = run(0.5)
-    assert m_half["overflow"] == 0
+    p_full, m_full, acc_full, _ = run(1.0)
+    p_half, m_half, acc_half, _ = run(0.5)
+    p_own, m_own, acc_own, t_own = run(0.5, mode="owner")
+    assert m_half["overflow"] == 0 and m_own["overflow"] == 0
     # cold rows exist and remote traffic shrank (cold rows skip the
     # exchange entirely)
     assert m_half["remote"] < m_full["remote"]
+    assert m_own["remote"] == m_half["remote"]
     for a, b in zip(jax.tree_util.tree_leaves(p_full),
                     jax.tree_util.tree_leaves(p_half)):
         np.testing.assert_array_equal(a, b)
-    assert acc_full == acc_half
+    # owner-served tier: same math, O(V/k) host storage
+    for a, b in zip(jax.tree_util.tree_leaves(p_full),
+                    jax.tree_util.tree_leaves(p_own)):
+        np.testing.assert_array_equal(a, b)
+    assert acc_full == acc_half == acc_own
+    # per-device cold storage is exactly its own partition's tail
+    S = t_own.part_size
+    H = t_own.hot_size
+    assert t_own.x_cold is None
+    assert len(t_own.x_cold_own) == WORLD
+    for tail in t_own.x_cold_own:
+        assert tail.shape[0] == S - H
 
 
 def test_distributed_gat(dist_trainer):
