@@ -31,10 +31,22 @@ def make_mesh(n_devices: Optional[int] = None,
 
 def maybe_initialize_distributed() -> None:
     """Multi-host bootstrap (idempotent). On TPU pods the coordinator is
-    discovered from the environment; single-process runs are a no-op."""
+    discovered from the environment; single-process runs are a no-op.
+
+    Fail-fast (SURVEY §5.3): when a multi-process run is clearly intended
+    (coordinator/process env vars present), a failed bootstrap raises
+    instead of silently degrading to a single-process run.
+    """
+    import os
+
+    if jax.process_count() > 1:
+        return  # already initialized
+    intended = any(v in os.environ for v in (
+        "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+        "JAX_NUM_PROCESSES", "JAX_PROCESS_ID"))
     try:
-        if jax.process_count() > 1:
-            return  # already initialized
         jax.distributed.initialize()
     except Exception:
-        pass  # single-process / already initialized / unsupported backend
+        if intended:
+            raise  # a half-configured pod must not train single-process
+        # plain single-process / unsupported backend: fine

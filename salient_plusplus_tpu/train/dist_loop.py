@@ -11,6 +11,7 @@ host feeding its addressable devices.
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import Dict, Optional
 
@@ -87,8 +88,10 @@ class DistributedTrainer:
             x_all = [pad_feature_dim(np.asarray(s)) for s in x_all]
         self.pg = pg
         self.old2new = old2new
+        self.batch_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
+        self.repl_sharding = NamedSharding(self.mesh, P())
         self.part_offsets = np.asarray(pg.part_offsets, np.int32)
-        self.part_offsets_dev = jnp.asarray(self.part_offsets)
+        self.part_offsets_dev = self._replicate(self.part_offsets)
 
         self.native = NativeSampler(np.asarray(pg.rowptr, np.int64),
                                     np.asarray(pg.col, np.int32))
@@ -129,8 +132,6 @@ class DistributedTrainer:
 
         # row-sharded features: each host contributes its local partitions'
         # (equal-size) shards
-        self.batch_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
-        self.repl_sharding = NamedSharding(self.mesh, P())
         local_rows = np.concatenate(
             [np.asarray(s) for s in x_local], axis=0).astype(np.float32)
         local_rows = local_rows.astype(jnp.bfloat16)
@@ -314,8 +315,11 @@ class DistributedTrainer:
 
         if self._a2a is None:
             def xch(a):
-                return jax.lax.all_to_all(a[0], DATA_AXIS, split_axis=0,
-                                          concat_axis=0, tiled=True)[None]
+                r = jax.lax.all_to_all(a[0], DATA_AXIS, split_axis=0,
+                                       concat_axis=0, tiled=True)
+                if r.ndim == 3:  # rows: [world, cap, F] → [world*cap, F]
+                    r = r.reshape(r.shape[0] * r.shape[1], r.shape[2])
+                return r[None]
 
             self._a2a = jax.jit(jax.shard_map(
                 xch, mesh=self.mesh, in_specs=P(DATA_AXIS),
@@ -336,8 +340,7 @@ class DistributedTrainer:
                 idx = ((got[m].astype(np.int64) % self.part_size)
                        - self.hot_size)
                 rows[li][m] = gather_rows(self.x_cold_own[li], idx)
-        resp = self._a2a(self._to_global(rows))          # [ndev, world, cap, F]
-        return resp.reshape(resp.shape[0], self.world * cap, F)
+        return self._a2a(self._to_global(rows))          # [ndev, world*cap, F]
 
     def _calibrate_cold_cap(self, spec, pool=None, align: int = 128) -> int:
         rng = np.random.default_rng(self.cfg.seed + 21)
@@ -372,7 +375,7 @@ class DistributedTrainer:
             self.model, jnp.asarray(xs_host, jnp.bfloat16), ex_dev,
             self.cfg.lr, seed=self.cfg.seed + trial_seed)
         # replicate the state across the mesh
-        self.state = jax.device_put(self.state, self.repl_sharding)
+        self.state = self._replicate(self.state)
 
     # ------------------------------------------------------------------
     def create_cache(self, cache_size: Optional[float] = None,
@@ -454,8 +457,10 @@ class DistributedTrainer:
         for c in range(n_chunks):
             idc = self._to_global(ids_p[:, c * chunk:(c + 1) * chunk])
             outs.append(fetch_sm(self.features, idc))
-        rows = jnp.concatenate(outs, axis=1)[:, :num]
-        return rows
+        # concat/slice under jit: out-of-jit jnp ops reject non-addressable
+        # global arrays in multi-process runs
+        return jax.jit(
+            lambda *o: jnp.concatenate(o, axis=1)[:, :num])(*outs)
 
     # ------------------------------------------------------------------
     def _to_global(self, local_tree):
@@ -466,6 +471,27 @@ class DistributedTrainer:
             lambda x: jax.make_array_from_process_local_data(
                 self.batch_sharding, np.asarray(x)),
             local_tree)
+
+    def _replicate(self, tree):
+        """Host/local values → mesh-replicated global arrays (multi-process
+        safe: plain device_put cannot target non-addressable shardings;
+        typed PRNG keys go through key_data/wrap_key_data)."""
+        if jax.process_count() == 1:
+            return jax.device_put(tree, self.repl_sharding)
+
+        def conv(x):
+            if isinstance(x, jax.Array) and jax.dtypes.issubdtype(
+                    x.dtype, jax.dtypes.prng_key):
+                data = jax.make_array_from_process_local_data(
+                    self.repl_sharding,
+                    np.asarray(jax.random.key_data(x)))
+                impl = str(jax.random.key_impl(x))
+                return jax.jit(functools.partial(
+                    jax.random.wrap_key_data, impl=impl))(data)
+            return jax.make_array_from_process_local_data(
+                self.repl_sharding, np.asarray(x))
+
+        return jax.tree_util.tree_map(conv, tree)
 
     def _epoch_iterators(self, epoch: int):
         its = []
