@@ -88,11 +88,15 @@ def main():
     eps = max(windows)
     import sys
 
+    spec = trainer.train_spec
     print(f"windows(M/s)={[round(w / 1e6, 2) for w in windows]} "
           f"feeder_starved={feeder.starved_dur:.2f}s/"
           f"{feeder.starved_occasions} "
           f"sampler_blocked={it.stats.total_blocked_dur:.2f}s "
-          f"sample_time={it.stats.sample_time:.1f}s", file=sys.stderr)
+          f"sample_time={it.stats.sample_time:.1f}s "
+          f"pad_waste_nodes={it.stats.node_waste(spec.total_node_cap):.3f} "
+          f"pad_waste_edges={it.stats.edge_waste(sum(spec.edge_caps)):.3f}",
+          file=sys.stderr)
     print(json.dumps({
         "metric": "train_edges_per_s_per_chip",
         "value": round(eps, 1),

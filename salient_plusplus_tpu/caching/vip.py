@@ -27,6 +27,8 @@ import numpy as np
 
 VIP_SCHEMES = (
     "vip-analytical", "vip-analytical-device", "vip-simulation",
+    "vip-analytical-taylor", "vip-analytical-cascade",
+    "vip-analytical-taylor-cascade", "random-multiwalk", "shuffle",
     "degree-reachable", "num-paths-reachable", "halo-1hop", "random-walk",
     "oracle", "degree",
 )
@@ -53,8 +55,19 @@ def partitionwise_train_idx(partition_ids: np.ndarray,
 def vip_analytical(rowptr: np.ndarray, col: np.ndarray,
                    train_idx_per_partition: Sequence[np.ndarray],
                    minibatch_size: int,
-                   fanouts: Sequence[int]) -> List[np.ndarray]:
-    """Analytical VIP weights, numpy (reference caching/vip.py:123-180)."""
+                   fanouts: Sequence[int],
+                   taylor: bool = False, cascade: bool = False,
+                   init_scale: Optional[float] = None) -> List[np.ndarray]:
+    """Analytical VIP weights, numpy (reference caching/vip.py:123-180;
+    variants from partitioners/eval_quality.py:248-295).
+
+    taylor:  first-order approximation 1−exp(−Σ tw·p) of the exact
+             1−exp(Σ log(1−tw·p)) recurrence (ddp.py:219-224).
+    cascade: hop h also inherits hop h−1's probability (a vertex stays in
+             the frontier once reached).
+    init_scale: seed probability override (random-multiwalk uses 1/|train|
+             instead of minibatch/|train|).
+    """
     V = len(rowptr) - 1
     deg = vertex_indegrees(rowptr).astype(np.float64)
     rows = _edge_rows(rowptr)
@@ -62,16 +75,28 @@ def vip_analytical(rowptr: np.ndarray, col: np.ndarray,
     for train_idx in train_idx_per_partition:
         p_hop = np.zeros(V, np.float64)
         if len(train_idx):
-            p_hop[train_idx] = minibatch_size / len(train_idx)
+            p_hop[train_idx] = (init_scale if init_scale is not None
+                                else minibatch_size / len(train_idx))
         p_not = np.ones(V, np.float64)
         for fanout in fanouts:
             with np.errstate(divide="ignore", invalid="ignore"):
                 tw = np.minimum(1.0, fanout / deg)
             tw = np.nan_to_num(tw, nan=1.0, posinf=1.0)
-            with np.errstate(divide="ignore"):
-                logs = np.log(np.maximum(1.0 - tw[col] * p_hop[col], 1e-300))
-            logsum = np.bincount(rows, weights=logs, minlength=V)
-            p_hop = 1.0 - np.exp(logsum)
+            if taylor:
+                s = np.bincount(rows, weights=tw[col] * p_hop[col],
+                                minlength=V)
+                if cascade:
+                    s = s + p_hop
+                p_hop = 1.0 - np.exp(-s)
+            else:
+                with np.errstate(divide="ignore"):
+                    logs = np.log(
+                        np.maximum(1.0 - tw[col] * p_hop[col], 1e-300))
+                logsum = np.bincount(rows, weights=logs, minlength=V)
+                if cascade:
+                    logsum = logsum + np.log(
+                        np.maximum(1.0 - p_hop, 1e-300))
+                p_hop = 1.0 - np.exp(logsum)
             p_not *= 1.0 - p_hop
         p_total_out.append((1.0 - p_not).astype(np.float32))
     return p_total_out
@@ -235,6 +260,24 @@ def get_lambda_vip_cache(
 
     if scheme == "vip-analytical":
         w = vip_analytical(rowptr, col, tipp, minibatch_size, fanouts)
+    elif scheme == "vip-analytical-taylor":
+        w = vip_analytical(rowptr, col, tipp, minibatch_size, fanouts,
+                           taylor=True)
+    elif scheme == "vip-analytical-cascade":
+        w = vip_analytical(rowptr, col, tipp, minibatch_size, fanouts,
+                           cascade=True)
+    elif scheme == "vip-analytical-taylor-cascade":
+        w = vip_analytical(rowptr, col, tipp, minibatch_size, fanouts,
+                           taylor=True, cascade=True)
+    elif scheme == "random-multiwalk":
+        # eval_quality.py:264: exact recurrence seeded with 1/|train|
+        w = [vip_analytical(rowptr, col, [ti], minibatch_size, fanouts,
+                            init_scale=1.0 / max(len(ti), 1))[0]
+             for ti in tipp]
+    elif scheme == "shuffle":
+        # random-permutation baseline (eval_quality.py:434-447)
+        rng = np.random.default_rng(0)
+        w = [rng.random(V).astype(np.float32) for _ in range(k)]
     elif scheme == "vip-analytical-device":
         w = vip_analytical_device(rowptr, col, tipp, minibatch_size, fanouts)
     elif scheme == "vip-simulation":

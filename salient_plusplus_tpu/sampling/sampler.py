@@ -66,6 +66,18 @@ class SamplerStats:
     batches: int = 0
     dropped_nodes: int = 0
     dropped_edges: int = 0
+    # static-shape padding accounting (padded rows cost real device time):
+    # waste fraction = 1 − real/(batches · cap)
+    real_nodes: int = 0
+    real_edges: int = 0
+
+    def node_waste(self, node_cap: int) -> float:
+        denom = self.batches * node_cap
+        return 1.0 - self.real_nodes / denom if denom else 0.0
+
+    def edge_waste(self, edge_cap_total: int) -> float:
+        denom = self.batches * edge_cap_total
+        return 1.0 - self.real_edges / denom if denom else 0.0
 
 
 @dataclass
@@ -209,6 +221,8 @@ class FastSamplerIter:
         self.stats.batches += 1
         self.stats.dropped_nodes += int(bufs.overflow[0])
         self.stats.dropped_edges += int(bufs.overflow[1])
+        self.stats.real_nodes += int(bufs.level_sizes[-1])
+        self.stats.real_edges += int(bufs.edge_counts.sum())
         return bufs
 
     def recycle(self, bufs: BatchBuffers) -> None:

@@ -215,8 +215,14 @@ class Trainer:
             self.logger.log("SAMPLER_OVERFLOW", epoch,
                             it.stats.dropped_nodes, it.stats.dropped_edges)
         mean_loss = float(np.mean([float(l) for l in losses]))
-        self.logger.log("epoch", epoch, "loss", mean_loss,
-                        "sampler_blocked", round(it.stats.total_blocked_dur, 4))
+        spec = self.train_spec
+        self.logger.log(
+            "epoch", epoch, "loss", mean_loss,
+            "sampler_blocked", round(it.stats.total_blocked_dur, 4),
+            "pad_waste_nodes",
+            round(it.stats.node_waste(spec.total_node_cap), 4),
+            "pad_waste_edges",
+            round(it.stats.edge_waste(sum(spec.edge_caps)), 4))
         return mean_loss
 
     def _train_epoch_presampled(self, epoch: int) -> float:

@@ -120,3 +120,35 @@ def test_comm_volume_identity_and_vip_wins(small_graph):
         assert results["oracle"][alpha]["cross"] <= vip[alpha]["cross"]
     table = tabulate_comm_results(results)
     assert "vip-analytical" in table
+
+
+def test_strategy_zoo_variants(small_graph):
+    """Taylor/cascade analytic variants + shuffle/random-multiwalk
+    baselines (reference eval_quality.py:192-526, ddp.py:219-224): all run
+    through the sweep, and quality orders sanely — analytic variants track
+    the exact recurrence closely and every informed scheme beats the
+    shuffle baseline."""
+    g = small_graph
+    pids = (np.arange(g.num_nodes) * 4 // g.num_nodes).astype(np.int32)
+    rng = np.random.default_rng(1)
+    train = np.sort(rng.choice(g.num_nodes, 600,
+                               replace=False)).astype(np.int64)
+    results = run_replication_sweep(
+        g.rowptr, g.col, pids, train, [5, 3], 128,
+        schemes=("vip-analytical", "vip-analytical-taylor",
+                 "vip-analytical-cascade", "vip-analytical-taylor-cascade",
+                 "random-multiwalk", "shuffle"),
+        replication_factors=(0.0, 0.2), num_epochs=1)
+    alpha = 0.2
+    exact = results["vip-analytical"][alpha]["cross"]
+    shuffle = results["shuffle"][alpha]["cross"]
+    for scheme in ("vip-analytical-taylor", "vip-analytical-cascade",
+                   "vip-analytical-taylor-cascade", "random-multiwalk"):
+        cross = results[scheme][alpha]["cross"]
+        assert cross < shuffle, (scheme, cross, shuffle)
+        # analytic family stays within 25% of the exact recurrence
+        assert cross < exact * 1.25, (scheme, cross, exact)
+    # accounting identity holds for every scheme
+    for scheme, per_alpha in results.items():
+        for a, r in per_alpha.items():
+            assert r["total"] == r["internal"] + r["cross"] + r["cache_hits"]
