@@ -47,11 +47,30 @@ class _GNNBase(nn.Module):
         return nn.log_softmax(out, axis=-1)
 
 
+def _layer0_inputs(x, batch: PaddedBatch, features, out_cap, dtype):
+    """(msg_source, edge) for layer 0.
+
+    With ``features`` (the HBM table) and ``batch.gsrc`` present, layer 0
+    aggregates straight from the global table via global src ids — the
+    level-L frontier tail (only ever a message source) is then never
+    gathered, shrinking the trainer's frontier gather to the level-(L-1)
+    prefix (train/step.py). Raw features carry no gradient, so the
+    aggregation needs no backward mirror either way."""
+    e0 = batch.edges[0]
+    if features is not None and batch.gsrc is not None:
+        edge = e0.replace(src=batch.gsrc, msrc=None, mdst=None)
+        return features.astype(dtype), edge
+    return x, e0
+
+
 class SAGE(_GNNBase):
     """3-layer default GraphSAGE, bias-free convs (driver/models.py:19-56)."""
 
+    use_bias: bool = False
+
     @nn.compact
-    def __call__(self, x, batch: PaddedBatch, training: bool = False):
+    def __call__(self, x, batch: PaddedBatch, training: bool = False,
+                 features=None):
         x = x.astype(self.dtype)
         L = batch.num_layers
         assert L == self.num_layers
@@ -59,33 +78,24 @@ class SAGE(_GNNBase):
             in_cap, out_cap = batch.layer_caps(i)
             feat = (self.out_features if i == L - 1 else self.hidden_features)
             x_target = x[:out_cap]
-            x = SAGEConv(feat, use_bias=False, dtype=self.dtype,
+            if i == 0:
+                x, edge = _layer0_inputs(x, batch, features, out_cap,
+                                         self.dtype)
+            else:
+                edge = batch.edges[i]
+            x = SAGEConv(feat, use_bias=self.use_bias, dtype=self.dtype,
                          param_dtype=self.param_dtype, name=f"conv{i}")(
-                x, x_target, batch.edges[i], out_cap)
+                x, x_target, edge, out_cap)
             if i != L - 1:
                 x = nn.relu(x)
                 x = nn.Dropout(self.dropout, deterministic=not training)(x)
         return self._final(x, batch)
 
 
-class SAGEClassic(_GNNBase):
+class SAGEClassic(SAGE):
     """SAGE with default-bias convs (driver/models.py:59-91)."""
 
-    @nn.compact
-    def __call__(self, x, batch: PaddedBatch, training: bool = False):
-        x = x.astype(self.dtype)
-        L = batch.num_layers
-        for i in range(L):
-            in_cap, out_cap = batch.layer_caps(i)
-            feat = (self.out_features if i == L - 1 else self.hidden_features)
-            x_target = x[:out_cap]
-            x = SAGEConv(feat, use_bias=True, dtype=self.dtype,
-                         param_dtype=self.param_dtype, name=f"conv{i}")(
-                x, x_target, batch.edges[i], out_cap)
-            if i != L - 1:
-                x = nn.relu(x)
-                x = nn.Dropout(self.dropout, deterministic=not training)(x)
-        return self._final(x, batch)
+    use_bias: bool = True
 
 
 class SAGEResInception(_GNNBase):
@@ -160,16 +170,22 @@ class GIN(_GNNBase):
     (driver/models.py:234-283)."""
 
     @nn.compact
-    def __call__(self, x, batch: PaddedBatch, training: bool = False):
+    def __call__(self, x, batch: PaddedBatch, training: bool = False,
+                 features=None):
         x = x.astype(self.dtype)
         L = batch.num_layers
         for i in range(L):
             in_cap, out_cap = batch.layer_caps(i)
             valid = batch.level_sizes[L - i - 1]
             x_target = x[:out_cap]
+            if i == 0:
+                x, edge = _layer0_inputs(x, batch, features, out_cap,
+                                         self.dtype)
+            else:
+                edge = batch.edges[i]
             x = GINConv(self.hidden_features, dtype=self.dtype,
                         param_dtype=self.param_dtype, name=f"conv{i}")(
-                x, x_target, batch.edges[i], out_cap, valid, training)
+                x, x_target, edge, out_cap, valid, training)
         x = nn.Dense(self.hidden_features, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="lin1")(x)
         x = nn.relu(x)

@@ -127,6 +127,11 @@ class PaddedBatch(struct.PyTreeNode):
     cold_rows: "np.ndarray" = None   # [cold_cap, F] feature rows
     cold_pos: "np.ndarray" = None    # int32 [cold_cap] frontier slots (pad=N_cap)
     cold_count: "np.ndarray" = None  # int32 []
+    # GLOBAL src ids of the outermost hop (edges[0]); lets layer 0
+    # aggregate straight from the HBM feature table so the frontier gather
+    # shrinks to the level-(L-1) prefix — the level-L tail is only ever a
+    # message source (single-host all-HBM path; see train/step.py)
+    gsrc: "np.ndarray" = None        # int32 [edge_caps[L-1]] or None
     spec: BatchSpec = struct.field(pytree_node=False, default=None)
 
     @property

@@ -92,6 +92,16 @@ class BatchBuffers:
         self.cold_pos = None
         self.cold_req = None
         self.cold_count = np.int32(0)
+        self.gsrc = None
+
+    def attach_gsrc(self):
+        self.gsrc = np.zeros(self.spec.edge_caps[-1], np.int32)
+
+    def fill_gsrc(self):
+        """gsrc[e] = global id of the outermost hop's source (n_id[src])."""
+        off = int(self.edge_offsets[self.spec.num_hops - 1])
+        np.take(self.n_id, self.edge_src[off:off + self.gsrc.shape[0]],
+                out=self.gsrc)
 
     def attach_cold(self, cold_cap: int, num_features: int, dtype):
         self.cold_rows = np.zeros((cold_cap, num_features), dtype)
@@ -196,6 +206,7 @@ class BatchBuffers:
         return PaddedBatch(
             n_id=self.n_id, level_sizes=self.level_sizes, edges=edges,
             y=self.y, seed_count=self.seed_count, overflow=self.overflow,
+            gsrc=self.gsrc,
             cold_rows=self.cold_rows, cold_pos=self.cold_pos,
             cold_count=self.cold_count if self.cold_pos is not None else None,
             spec=spec,

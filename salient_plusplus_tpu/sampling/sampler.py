@@ -108,6 +108,8 @@ class FastSamplerConfig:
     cold_owner_mode: bool = False
     cold_world: int = 0
     cold_r_cap: int = 0
+    # emit global src ids for the outermost hop (PaddedBatch.gsrc)
+    emit_gsrc: bool = False
 
 
 class FastSamplerIter:
@@ -144,6 +146,8 @@ class FastSamplerIter:
             elif cfg.hot_cutoff is not None or cfg.cold_part_size is not None:
                 bufs.attach_cold(cfg.cold_cap, cfg.x_cold.shape[1],
                                  cfg.x_cold.dtype)
+            if cfg.emit_gsrc:
+                bufs.attach_gsrc()
             self._free.put(bufs)
         for bno, seeds in enumerate(self.batches):
             self._work.put(bno)
@@ -185,6 +189,8 @@ class FastSamplerIter:
                     dropped = bufs.fill_cold(cfg.x_cold, cfg.hot_cutoff)
                     if dropped:
                         self.stats.dropped_nodes += dropped
+                if cfg.emit_gsrc:
+                    bufs.fill_gsrc()
             except BaseException as e:  # surface in the consumer, don't hang
                 self._free.put(bufs)  # keep the pool at full capacity
                 self._out.put((bno, e))
@@ -270,6 +276,8 @@ class FastPreSampler:
             elif cfg.hot_cutoff is not None or cfg.cold_part_size is not None:
                 bufs.attach_cold(cfg.cold_cap, cfg.x_cold.shape[1],
                                  cfg.x_cold.dtype)
+            if cfg.emit_gsrc:
+                bufs.attach_gsrc()
             self.sampler.native.sample_into(
                 bufs, batches[bno],
                 rng_seed=batch_seed(cfg.base_seed, epoch, bno),
@@ -282,6 +290,8 @@ class FastPreSampler:
                                            cfg.cold_hot_size)
             elif cfg.hot_cutoff is not None:
                 bufs.fill_cold(cfg.x_cold, cfg.hot_cutoff)
+            if cfg.emit_gsrc:
+                bufs.fill_gsrc()
             return bno, bufs
 
         with cf.ThreadPoolExecutor(max(1, cfg.num_workers)) as ex:

@@ -127,6 +127,11 @@ class Trainer:
         else:
             self.x_cold, cold_cap = None, 0
 
+        # layer-0 aggregates straight from the HBM table when the model's
+        # first hop consumes raw features and everything is HBM-resident:
+        # the frontier gather then shrinks to the level-(L-1) prefix
+        self.global_msg0 = (self.hot_cutoff is None and
+                            cfg.model_name in ("SAGE", "SAGEClassic", "GIN"))
         self.train_sampler = FastSampler(
             self.native.rowptr, self.native.col,
             np.asarray(graph.y, np.int32),
@@ -135,7 +140,7 @@ class Trainer:
                 base_seed=cfg.seed, num_workers=cfg.num_workers,
                 max_batches_in_flight=cfg.max_batches_in_flight,
                 hot_cutoff=self.hot_cutoff, x_cold=self.x_cold,
-                cold_cap=cold_cap))
+                cold_cap=cold_cap, emit_gsrc=self.global_msg0))
         self.shuffler = Shuffler(train_idx, initial_seed=cfg.seed + 2**31 - 1)
 
         # hot features resident in HBM, bf16
@@ -146,8 +151,8 @@ class Trainer:
         self.model = make_model(
             cfg.model_name, graph.num_features, cfg.hidden_features,
             graph.num_classes, cfg.num_layers, cfg.dropout)
-        self.train_step = make_train_step()
-        self.eval_step = make_eval_step()
+        self.train_step = make_train_step(global_msg0=self.global_msg0)
+        self.eval_step = make_eval_step(global_msg0=self.global_msg0)
         self.state: Optional[TrainState] = None
         self.reset()
 
@@ -275,7 +280,7 @@ class Trainer:
                 base_seed=cfg.seed + 7, num_workers=cfg.num_workers,
                 max_batches_in_flight=cfg.max_batches_in_flight,
                 hot_cutoff=self.hot_cutoff, x_cold=self.x_cold,
-                cold_cap=cold_cap),
+                cold_cap=cold_cap, emit_gsrc=self.global_msg0),
             idx=eval_idx)
 
     def evaluate(self, split: str) -> float:

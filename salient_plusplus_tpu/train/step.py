@@ -40,6 +40,21 @@ def gather_features(features: jnp.ndarray, batch: PaddedBatch) -> jnp.ndarray:
     return x
 
 
+def _x_and_extra(features, batch: PaddedBatch, global_msg0: bool):
+    """Frontier features + model kwargs for one step.
+
+    With global_msg0 (single-host all-HBM path, batch carries gsrc), layer
+    0 aggregates straight from the HBM table, so only the level-(L-1)
+    prefix of the frontier is gathered — the level-L tail (~70% of the
+    frontier at [15,10,5]) is never materialized."""
+    if global_msg0 and batch.gsrc is not None and batch.cold_rows is None:
+        L = batch.spec.num_hops
+        pref_cap = batch.spec.node_caps[L - 1]
+        idx = jnp.minimum(batch.n_id[:pref_cap], features.shape[0] - 1)
+        return jnp.take(features, idx, axis=0), {"features": features}
+    return gather_features(features, batch), {}
+
+
 def masked_nll(logp: jnp.ndarray, y: jnp.ndarray, seed_count) -> jnp.ndarray:
     cap = logp.shape[0]
     mask = valid_mask(cap, seed_count).astype(jnp.float32)
@@ -47,7 +62,8 @@ def masked_nll(logp: jnp.ndarray, y: jnp.ndarray, seed_count) -> jnp.ndarray:
     return (nll * mask).sum() / jnp.maximum(seed_count.astype(jnp.float32), 1)
 
 
-def make_train_step(pmean_axis: Optional[str] = None):
+def make_train_step(pmean_axis: Optional[str] = None,
+                    global_msg0: bool = False):
     """Build the jitted train step.
 
     With ``pmean_axis`` set the step is shard_map/pmap-ready: grads and loss
@@ -61,12 +77,13 @@ def make_train_step(pmean_axis: Optional[str] = None):
 
         def loss_fn(params):
             with jax.named_scope("feature_gather"):
-                x = gather_features(features, batch)
+                x, extra = _x_and_extra(features, batch, global_msg0)
             vars_in = {"params": params, "batch_stats": state.batch_stats}
             with jax.named_scope("model_forward"):
                 out, updates = state.apply_fn(
                     vars_in, x, batch, training=True,
-                    rngs={"dropout": key}, mutable=["batch_stats"])
+                    rngs={"dropout": key}, mutable=["batch_stats"],
+                    **extra)
             loss = masked_nll(out, batch.y, batch.seed_count)
             return loss, updates.get("batch_stats", state.batch_stats)
 
@@ -84,17 +101,18 @@ def make_train_step(pmean_axis: Optional[str] = None):
     return train_step  # caller wraps in shard_map/pjit
 
 
-def make_eval_step(psum_axis: Optional[str] = None):
+def make_eval_step(psum_axis: Optional[str] = None,
+                   global_msg0: bool = False):
     """Batchwise eval: (correct, total) over seed rows — the reference's
     batchwise_test core (fast_trainer/test.py:8-33), cross-rank reduction
     included when ``psum_axis`` is given (driver/drivers/base.py:517-523)."""
 
     def eval_step(state: TrainState, features: jnp.ndarray,
                   batch: PaddedBatch):
-        x = gather_features(features, batch)
+        x, extra = _x_and_extra(features, batch, global_msg0)
         out = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
-            x, batch, training=False)
+            x, batch, training=False, **extra)
         pred = out.argmax(-1).astype(jnp.int32)
         mask = valid_mask(out.shape[0], batch.seed_count)
         correct = jnp.where(mask, pred == batch.y, False).sum()

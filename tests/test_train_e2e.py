@@ -122,3 +122,40 @@ def test_end_to_end_determinism(small_graph):
     for a, b in zip(jax.tree_util.tree_leaves(p1),
                     jax.tree_util.tree_leaves(p2)):
         np.testing.assert_array_equal(a, b)
+
+
+def test_global_msg0_equivalent(tiny_graph):
+    """Layer-0 global-table aggregation (batch.gsrc) must produce the same
+    training trajectory as the full-frontier-gather path."""
+    import jax
+    from salient_plusplus_tpu.config import RunConfig
+    from salient_plusplus_tpu.train.loop import Trainer
+
+    def run(force_off):
+        cfg = RunConfig(train_batch_size=64, train_fanouts=[5, 3],
+                        batchwise_test_fanouts=[6, 6],
+                        final_test_fanouts=[6, 6], hidden_features=16,
+                        num_layers=2, lr=0.01, num_workers=1,
+                        calibration_batches=2, seed=4, dropout=0.0)
+        t = Trainer(cfg, tiny_graph)
+        if force_off:
+            from salient_plusplus_tpu.train.step import (make_eval_step,
+                                                         make_train_step)
+            t.global_msg0 = False
+            t.train_sampler.cfg = t.train_sampler.cfg.__class__(
+                **{**t.train_sampler.cfg.__dict__, "emit_gsrc": False})
+            t.train_step = make_train_step(global_msg0=False)
+            t.eval_step = make_eval_step(global_msg0=False)
+        assert t.global_msg0 == (not force_off)
+        loss = t.train_epoch(0)
+        acc = t.evaluate("valid")
+        return loss, acc, jax.tree_util.tree_map(np.asarray,
+                                                 t.state.params)
+
+    l_on, a_on, p_on = run(False)
+    l_off, a_off, p_off = run(True)
+    assert abs(l_on - l_off) < 1e-5, (l_on, l_off)
+    assert a_on == a_off
+    for a, b in zip(jax.tree_util.tree_leaves(p_on),
+                    jax.tree_util.tree_leaves(p_off)):
+        np.testing.assert_allclose(a, b, atol=1e-6)
