@@ -243,6 +243,132 @@ int32_t sptpu_sample_batch(
   return 0;
 }
 
+// Multi-constraint k-way graph partitioning (native edition of the
+// METIS-replacement heuristic; reference capability:
+// partitioners/partition.py:67-81 four-constraint METIS with ubvec).
+// Seeded multi-source BFS growth under per-constraint capacities,
+// followed by capacity-safe label-propagation refinement. O(passes * E);
+// runs at millions of edges/s where the pure-Python edition took minutes
+// for 50k nodes.
+void sptpu_partition(const int64_t* rowptr, const int32_t* col, int64_t V,
+                     int32_t k, const double* weights /* V x nw */,
+                     int32_t nw, const double* caps /* nw */, uint64_t seed,
+                     int32_t refine_passes, int32_t* labels /* out V */) {
+  Rng rng(seed ? seed : 1);
+  std::vector<double> loads((size_t)k * nw, 0.0);
+  std::vector<std::vector<int32_t>> frontier(k);
+  std::vector<size_t> head(k, 0);
+  std::fill(labels, labels + V, -1);
+
+  const auto fits = [&](int32_t p, int64_t v) {
+    for (int32_t c = 0; c < nw; ++c) {
+      if (loads[(size_t)p * nw + c] + weights[(size_t)v * nw + c] > caps[c])
+        return false;
+    }
+    return true;
+  };
+  const auto place = [&](int32_t p, int64_t v) {
+    labels[v] = p;
+    for (int32_t c = 0; c < nw; ++c)
+      loads[(size_t)p * nw + c] += weights[(size_t)v * nw + c];
+    frontier[p].push_back((int32_t)v);
+  };
+
+  for (int32_t p = 0; p < k; ++p) {  // distinct random seeds
+    int64_t s;
+    do {
+      s = (int64_t)(rng.next() % (uint64_t)V);
+    } while (labels[s] != -1);
+    place(p, s);
+  }
+
+  int64_t unassigned = V - k;
+  int64_t scan = 0;  // rotating cursor for disconnected remainders
+  while (unassigned > 0) {
+    bool progressed = false;
+    for (int32_t p = 0; p < k; ++p) {
+      int64_t budget = unassigned / (4 * (int64_t)k);
+      if (budget < 1) budget = 1;
+      int64_t grabbed = 0;
+      while (head[p] < frontier[p].size() && grabbed < budget) {
+        const int32_t u = frontier[p][head[p]++];
+        for (int64_t e = rowptr[u]; e < rowptr[u + 1]; ++e) {
+          const int32_t v = col[e];
+          if (labels[v] != -1 || !fits(p, v)) continue;
+          place(p, v);
+          --unassigned;
+          ++grabbed;
+          progressed = true;
+        }
+      }
+    }
+    if (!progressed) {
+      // disconnected remainder: reseed the least-loaded feasible
+      // partition (forcing on the last constraint if none fits)
+      while (scan < V && labels[scan] != -1) ++scan;
+      if (scan >= V) break;
+      int32_t best = 0;
+      double best_load = 1e300;
+      bool found = false;
+      for (int32_t p = 0; p < k; ++p) {
+        double tot = 0;
+        for (int32_t c = 0; c < nw; ++c) tot += loads[(size_t)p * nw + c];
+        if (fits(p, scan) && tot < best_load) {
+          best = p;
+          best_load = tot;
+          found = true;
+        }
+      }
+      if (!found) {
+        best = 0;
+        for (int32_t p = 1; p < k; ++p) {
+          if (loads[(size_t)p * nw + (nw - 1)]
+              < loads[(size_t)best * nw + (nw - 1)]) best = p;
+        }
+      }
+      place(best, scan);
+      --unassigned;
+    }
+  }
+
+  // label-propagation refinement (capacity-safe majority moves)
+  std::vector<int32_t> order(V);
+  for (int64_t i = 0; i < V; ++i) order[i] = (int32_t)i;
+  std::vector<int32_t> cnt(k);
+  for (int32_t pass = 0; pass < refine_passes; ++pass) {
+    for (int64_t i = V - 1; i > 0; --i) {  // Fisher-Yates
+      const int64_t j = (int64_t)(rng.next() % (uint64_t)(i + 1));
+      std::swap(order[i], order[j]);
+    }
+    int64_t moved = 0;
+    for (int64_t i = 0; i < V; ++i) {
+      const int32_t u = order[i];
+      const int64_t r0 = rowptr[u], r1 = rowptr[u + 1];
+      if (r0 == r1) continue;
+      std::fill(cnt.begin(), cnt.end(), 0);
+      for (int64_t e = r0; e < r1; ++e) ++cnt[labels[col[e]]];
+      const int32_t cur = labels[u];
+      int32_t best = cur;
+      for (int32_t p = 0; p < k; ++p)
+        if (cnt[p] > cnt[best]) best = p;
+      if (best == cur) continue;
+      bool ok = true;
+      for (int32_t c = 0; c < nw; ++c) {
+        if (loads[(size_t)best * nw + c] + weights[(size_t)u * nw + c]
+            > caps[c]) { ok = false; break; }
+      }
+      if (!ok) continue;
+      for (int32_t c = 0; c < nw; ++c) {
+        loads[(size_t)cur * nw + c] -= weights[(size_t)u * nw + c];
+        loads[(size_t)best * nw + c] += weights[(size_t)u * nw + c];
+      }
+      labels[u] = best;
+      ++moved;
+    }
+    if (moved < V / 1000) break;
+  }
+}
+
 // Build the src-sorted mirror of one hop's padded COO via counting sort.
 //
 // Input: (src, dst) with `count` real edges in the first slots of a

@@ -19,25 +19,37 @@ import time
 import numpy as np
 
 
-def run(num_nodes: int = 200_000, k: int = 8, seed: int = 0) -> dict:
+def run(num_nodes: int = 200_000, k: int = 8, seed: int = 0,
+        kind: str = "powerlaw") -> dict:
+    """kind: "powerlaw" (expander — little structure for ANY partitioner,
+    METIS included, to find; documents the floor) or "planted"
+    (community-structured — measures the ability to find real cuts)."""
     from ..data import synthetic
     from . import (get_4d_node_weights, multiconstraint_partition,
                    partition_quality, random_partition)
 
-    g = synthetic.powerlaw_graph(
-        name=f"pq-{num_nodes}", num_nodes=num_nodes, avg_degree=15,
-        num_features=8, num_classes=16, seed=seed)
+    if kind == "powerlaw":
+        g = synthetic.powerlaw_graph(
+            name=f"pq-{num_nodes}", num_nodes=num_nodes, avg_degree=15,
+            num_features=8, num_classes=16, seed=seed)
+    else:
+        g = synthetic.planted_partition(
+            name=f"pqp-{num_nodes}", num_nodes=num_nodes,
+            num_classes=4 * k, avg_degree=15, num_features=8, seed=seed)
     w = get_4d_node_weights(g.num_nodes, g.rowptr, g.split_idx["train"],
                             g.split_idx["valid"])
-    out = {"num_nodes": num_nodes, "num_edges": int(g.num_edges), "k": k}
+    out = {"kind": kind, "num_nodes": num_nodes,
+           "num_edges": int(g.num_edges), "k": k}
 
     t0 = time.perf_counter()
     labels = multiconstraint_partition(g.rowptr, g.col, k, w, seed=seed)
     out["heuristic"] = partition_quality(g.rowptr, g.col, labels, w)
     out["heuristic"]["seconds"] = round(time.perf_counter() - t0, 2)
 
+    # decorrelate from the generator's RNG stream (same-seed integer draws
+    # are correlated with the planted community assignment)
     out["random"] = partition_quality(
-        g.rowptr, g.col, random_partition(g.num_nodes, k, seed), w)
+        g.rowptr, g.col, random_partition(g.num_nodes, k, seed + 991), w)
 
     try:
         import pymetis
@@ -60,4 +72,7 @@ def run(num_nodes: int = 200_000, k: int = 8, seed: int = 0) -> dict:
 if __name__ == "__main__":
     V = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    print(json.dumps(run(V, k), indent=2))
+    kinds = sys.argv[3].split(",") if len(sys.argv) > 3 else ["powerlaw",
+                                                              "planted"]
+    print(json.dumps({kind: run(V, k, kind=kind) for kind in kinds},
+                     indent=2))

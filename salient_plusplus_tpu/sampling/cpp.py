@@ -32,6 +32,12 @@ def _load_lib():
         _c_i32p, ctypes.c_int32, ctypes.c_uint64, _c_i32p, _c_i64p, _c_i32p,
         _c_i32p, _c_i32p, _c_i32p, _c_i32p, _c_i32p, _c_i32p,
     ]
+    lib.sptpu_partition.argtypes = [
+        _c_i64p, _c_i32p, ctypes.c_int64, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_uint64, ctypes.c_int32,
+        _c_i32p,
+    ]
     lib.sptpu_mirror_by_src.argtypes = [
         _c_i32p, _c_i32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         _c_i32p, _c_i32p, _c_i32p,

@@ -110,3 +110,29 @@ def test_sampling_on_reordered_graph(small_graph):
     assert b.overflow.tolist() == [0, 0]
     # sampled labels valid (no ghost touched: ghosts have no edges)
     assert np.all(pg.y[b.n_id[:n]] >= 0)
+
+
+def test_partitioner_midsize_quality_and_speed():
+    """Mid-size regression guard for the native partitioner
+    (docs/PARTITION_QUALITY.md): on a community-structured 100k graph it
+    must find at least ~40% of the random-partition cut and finish in
+    seconds, with 4-constraint balance inside the cap."""
+    import time
+
+    from salient_plusplus_tpu.data import synthetic
+
+    g = synthetic.planted_partition(
+        name="pq-test", num_nodes=100_000, num_classes=32, avg_degree=12,
+        num_features=4, seed=5)
+    k = 8
+    w = get_4d_node_weights(g.num_nodes, g.rowptr,
+                            g.split_idx["train"], g.split_idx["valid"])
+    t0 = time.perf_counter()
+    labels = multiconstraint_partition(g.rowptr, g.col, k, w, seed=1)
+    dt = time.perf_counter() - t0
+    q = partition_quality(g.rowptr, g.col, labels, w)
+    q_rand = partition_quality(
+        g.rowptr, g.col, random_partition(g.num_nodes, k, seed=777), w)
+    assert dt < 20, dt  # native speed (python edition took minutes)
+    assert q["cut_fraction"] < 0.6 * q_rand["cut_fraction"], (q, q_rand)
+    assert q["max_imbalance"] < 1.35, q
