@@ -15,7 +15,8 @@ extern "C" {
 void* sptpu_ws_create(int64_t max_nodes);
 void sptpu_ws_destroy(void* p);
 int32_t sptpu_sample_batch(void* ws, const int64_t* rowptr,
-                           const int32_t* col, const int64_t* seeds,
+                           const int32_t* col, int64_t num_nodes,
+                           const int64_t* seeds,
                            int32_t num_seeds, const int32_t* fanouts,
                            int32_t num_hops, uint64_t rng_seed,
                            const int32_t* node_caps,
@@ -24,6 +25,13 @@ int32_t sptpu_sample_batch(void* ws, const int64_t* rowptr,
                            int32_t* out_level_sizes, int32_t* out_edge_src,
                            int32_t* out_edge_dst, int32_t* out_edge_counts,
                            int32_t* out_overflow);
+void sptpu_mirror_by_src(const int32_t* src, const int32_t* dst,
+                         int32_t count, int32_t cap, int32_t in_cap,
+                         int32_t* counts_ws, int32_t* msrc, int32_t* mdst);
+void sptpu_partition(const int64_t* rowptr, const int32_t* col, int64_t V,
+                     int32_t k, const double* weights, int32_t nw,
+                     const double* caps, uint64_t seed,
+                     int32_t refine_passes, int32_t* labels);
 }
 
 namespace {
@@ -83,7 +91,7 @@ int run_batches(const Graph& g, int32_t seed_base, bool tight_caps) {
       }
     }
     const int32_t rc = sptpu_sample_batch(
-        ws, g.rowptr.data(), g.col.data(), seeds.data(), B, fanouts, L,
+        ws, g.rowptr.data(), g.col.data(), V, seeds.data(), B, fanouts, L,
         seed_base * 1000003ULL + iter, node_caps, edge_offsets, edge_caps,
         n_id.data(), level_sizes.data(), esrc.data(), edst.data(),
         ecnt.data(), ovf.data());
@@ -97,8 +105,57 @@ int run_batches(const Graph& g, int32_t seed_base, bool tight_caps) {
       }
     }
     if (!tight_caps && (ovf[0] || ovf[1])) ++failures;
+    // mirror every hop and verify it is a sorted permutation of the edges
+    std::vector<int32_t> cws(node_caps[L] + 1), msrc(edge_offsets[L]),
+        mdst(edge_offsets[L]);
+    for (int32_t h = 0; h < L; ++h) {
+      sptpu_mirror_by_src(esrc.data() + edge_offsets[h],
+                          edst.data() + edge_offsets[h], ecnt[h],
+                          edge_caps[h], node_caps[h + 1], cws.data(),
+                          msrc.data() + edge_offsets[h],
+                          mdst.data() + edge_offsets[h]);
+      int64_t sum_src = 0, sum_msrc = 0;
+      for (int32_t e = 0; e < ecnt[h]; ++e) {
+        sum_src += esrc[edge_offsets[h] + e];
+        sum_msrc += msrc[edge_offsets[h] + e];
+        if (e && msrc[edge_offsets[h] + e] < msrc[edge_offsets[h] + e - 1])
+          ++failures;  // must be nondecreasing
+      }
+      if (sum_src != sum_msrc) ++failures;  // same multiset of srcs
+      for (int32_t e = ecnt[h]; e < edge_caps[h]; ++e)
+        if (msrc[edge_offsets[h] + e] != node_caps[h + 1]) ++failures;
+    }
   }
   sptpu_ws_destroy(ws);
+  return failures;
+}
+
+int run_partition(const Graph& g) {
+  const int64_t V = (int64_t)g.rowptr.size() - 1;
+  const int32_t k = 6, nw = 2;
+  std::vector<double> w(V * nw);
+  for (int64_t v = 0; v < V; ++v) {
+    w[v * nw + 0] = 1.0;
+    w[v * nw + 1] = (double)(g.rowptr[v + 1] - g.rowptr[v]);
+  }
+  double caps[nw];
+  for (int32_t c = 0; c < nw; ++c) {
+    double tot = 0, mx = 0;
+    for (int64_t v = 0; v < V; ++v) {
+      tot += w[v * nw + c];
+      if (w[v * nw + c] > mx) mx = w[v * nw + c];
+    }
+    caps[c] = tot / k * 1.1 + mx;
+  }
+  std::vector<int32_t> labels(V);
+  sptpu_partition(g.rowptr.data(), g.col.data(), V, k, w.data(), nw, caps,
+                  7, 3, labels.data());
+  int failures = 0;
+  std::vector<double> loads(k * nw, 0.0);
+  for (int64_t v = 0; v < V; ++v) {
+    if (labels[v] < 0 || labels[v] >= k) { ++failures; continue; }
+    for (int32_t c = 0; c < nw; ++c) loads[labels[v] * nw + c] += w[v * nw + c];
+  }
   return failures;
 }
 
@@ -117,6 +174,7 @@ int main() {
   }
   for (auto& th : threads) th.join();
   for (int r : results) failures += r;
+  failures += run_partition(g);
 
   if (failures) {
     std::fprintf(stderr, "FAILED: %d invariant violations\n", failures);
