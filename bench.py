@@ -65,6 +65,7 @@ def main():
     t0 = None
     e_mark = 0
     n_windows = int(os.environ.get("BENCH_WINDOWS", 3))
+    sync_win = int(os.environ.get("BENCH_SYNC", 2))
     sync_q = collections.deque()
     for batch in feeder:
         if n >= warmup and (n - warmup) % steps == 0:
@@ -77,7 +78,7 @@ def main():
         trainer.state, loss = trainer.train_step(
             trainer.state, trainer.features, batch)
         sync_q.append(loss)
-        if len(sync_q) > 2:
+        if len(sync_q) > sync_win:
             jax.block_until_ready(sync_q.popleft())
         n += 1
         if n >= warmup + steps * n_windows:

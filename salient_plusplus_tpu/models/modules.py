@@ -58,8 +58,9 @@ def _layer0_inputs(x, batch: PaddedBatch, features, out_cap, dtype):
     aggregation needs no backward mirror either way."""
     e0 = batch.edges[0]
     if features is not None and batch.gsrc is not None:
-        edge = e0.replace(src=batch.gsrc, msrc=None, mdst=None)
-        return features.astype(dtype), edge
+        # gsrc mode: e0.src already carries GLOBAL ids (sampler rewrote
+        # them in place; batch.gsrc is the zero-size mode marker)
+        return features.astype(dtype), e0
     return x, e0
 
 

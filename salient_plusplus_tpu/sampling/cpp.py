@@ -101,13 +101,18 @@ class BatchBuffers:
         self.gsrc = None
 
     def attach_gsrc(self):
-        self.gsrc = np.zeros(self.spec.edge_caps[-1], np.int32)
+        # zero-size marker: with gsrc mode on, the outermost hop's src
+        # slot itself carries GLOBAL ids (no duplicate array on the wire)
+        self.gsrc = np.zeros(0, np.int32)
 
     def fill_gsrc(self):
-        """gsrc[e] = global id of the outermost hop's source (n_id[src])."""
+        """Rewrite the outermost hop's src in place to global ids
+        (n_id[src]); its local ids are only ever used as gather indices
+        into the frontier, which layer 0 skips in gsrc mode."""
         off = int(self.edge_offsets[self.spec.num_hops - 1])
-        np.take(self.n_id, self.edge_src[off:off + self.gsrc.shape[0]],
-                out=self.gsrc)
+        cap = int(self.spec.edge_caps[-1])
+        sl = self.edge_src[off:off + cap]
+        sl[:] = self.n_id[sl]  # rhs materializes before the aliased write
 
     def attach_cold(self, cold_cap: int, num_features: int, dtype):
         self.cold_rows = np.zeros((cold_cap, num_features), dtype)
@@ -209,8 +214,13 @@ class BatchBuffers:
             )
             for h in reversed(range(L))
         )
+        # gsrc mode: only the level-(L-1) prefix of the frontier is ever
+        # gathered on device (layer 0 reads the global table directly), so
+        # the tail never rides H2D
+        n_id = (self.n_id if self.gsrc is None
+                else self.n_id[:spec.node_caps[L - 1]])
         return PaddedBatch(
-            n_id=self.n_id, level_sizes=self.level_sizes, edges=edges,
+            n_id=n_id, level_sizes=self.level_sizes, edges=edges,
             y=self.y, seed_count=self.seed_count, overflow=self.overflow,
             gsrc=self.gsrc,
             cold_rows=self.cold_rows, cold_pos=self.cold_pos,

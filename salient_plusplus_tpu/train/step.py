@@ -49,7 +49,7 @@ def _x_and_extra(features, batch: PaddedBatch, global_msg0: bool):
     frontier at [15,10,5]) is never materialized."""
     if global_msg0 and batch.gsrc is not None and batch.cold_rows is None:
         L = batch.spec.num_hops
-        pref_cap = batch.spec.node_caps[L - 1]
+        pref_cap = batch.spec.node_caps[L - 1]  # n_id already prefix-only
         idx = jnp.minimum(batch.n_id[:pref_cap], features.shape[0] - 1)
         return jnp.take(features, idx, axis=0), {"features": features}
     return gather_features(features, batch), {}
