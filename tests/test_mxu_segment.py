@@ -167,3 +167,28 @@ def test_sage_model_grads_match_xla_path():
     flat_b = jax.tree_util.tree_leaves(losses[True][1])
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_allclose(a, b, atol=2e-3, rtol=2e-3)
+
+
+def test_kernel_composes_with_shard_map():
+    """The segment kernel must run inside shard_map (the distributed
+    trainer's step engages it automatically on TPU pods)."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    devs = jax.devices()[:4]
+    mesh = Mesh(np.asarray(devs), ("d",))
+    E, F, T = 1024, 16, 256
+    rng = np.random.default_rng(0)
+    ids = np.stack([np.sort(rng.integers(0, T, E)).astype(np.int32)
+                    for _ in range(4)])
+    vals = rng.standard_normal((4, E, F)).astype(np.float32)
+
+    def f(v, i):
+        return M.sorted_segment_sum_mxu(v[0], i[0], T, interpret=True)[None]
+
+    sm = jax.jit(jax.shard_map(f, mesh=mesh, in_specs=(P("d"), P("d")),
+                               out_specs=P("d"), check_vma=False))
+    out = np.asarray(sm(jnp.asarray(vals), jnp.asarray(ids)))
+    ref = np.zeros((4, T, F), np.float32)
+    for d in range(4):
+        np.add.at(ref[d], ids[d], vals[d])
+    np.testing.assert_allclose(out, ref, atol=1e-4)
