@@ -102,8 +102,17 @@ class GATConv(nn.Module):
             logits.astype(jnp.float32), edge.dst, edge.count, out_cap
         ).astype(self.dtype)                        # [E, H]
         msg = xs[edge.src] * att[:, :, None]        # [E, H, C]
-        out = masked_segment_sum(
-            msg.reshape(-1, H * C), edge.dst, edge.count, out_cap)
+        if mxu_spmm_enabled():
+            # scatter-free forward; dst is target-grouped with pads ==
+            # out-level cap (the sampler layout), exactly the kernel's
+            # contract — backward is a masked gather
+            from ..ops.mxu_segment import sorted_segment_sum
+
+            out = sorted_segment_sum(
+                out_cap, msg.reshape(-1, H * C), edge.dst).astype(self.dtype)
+        else:
+            out = masked_segment_sum(
+                msg.reshape(-1, H * C), edge.dst, edge.count, out_cap)
         if self.use_bias:
             out = out + self.param("bias", nn.initializers.zeros,
                                    (H * C,), self.param_dtype).astype(self.dtype)

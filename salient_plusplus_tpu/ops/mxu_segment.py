@@ -169,8 +169,8 @@ def sorted_segment_sum_mxu(vals: jnp.ndarray, ids: jnp.ndarray,
         num_scalar_prefetch=1,
         grid=(nt,),
         in_specs=[
-            # explicit HBM: VMEM placement would impose (8,128) tiling on
-            # the [1, G] ids row slices
+            # explicit HBM: VMEM placement would impose (8,128) tiling
+            # constraints on the manually-DMA'd slices
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
@@ -281,6 +281,34 @@ def _spmm_nm_bwd(out_cap, mean, res, d_out):
 
 
 _spmm_agg_nomirror.defvjp(_spmm_nm_fwd, _spmm_nm_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def sorted_segment_sum(num_segments: int, vals, ids):
+    """Differentiable segment sum of PRE-GATHERED per-edge values (sorted
+    ids, pads == num_segments): MXU-kernel forward, masked-gather backward.
+    Used where messages are computed per edge before aggregation (GAT's
+    attention-weighted sum) — replaces XLA's scatter-add forward."""
+    return sorted_segment_sum_mxu(vals, ids, num_segments,
+                                  interpret=_INTERPRET)
+
+
+def _sss_fwd(num_segments, vals, ids):
+    out = sorted_segment_sum_mxu(vals, ids, num_segments,
+                                 interpret=_INTERPRET)
+    return out, (ids, jnp.zeros((0,), vals.dtype))
+
+
+def _sss_bwd(num_segments, res, d_out):
+    ids, proto = res
+    real = ids < num_segments
+    d_vals = jnp.take(d_out.astype(proto.dtype),
+                      jnp.minimum(ids, num_segments - 1), axis=0)
+    d_vals = jnp.where(real[:, None], d_vals, 0)
+    return (d_vals, np.zeros(ids.shape, jax.dtypes.float0))
+
+
+sorted_segment_sum.defvjp(_sss_fwd, _sss_bwd)
 
 
 def spmm_agg(x: jnp.ndarray, edge, out_cap: int, mean: bool = True):

@@ -192,3 +192,29 @@ def test_kernel_composes_with_shard_map():
     for d in range(4):
         np.add.at(ref[d], ids[d], vals[d])
     np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_gat_grads_match_xla_path():
+    """GAT's attention-weighted aggregation through the kernel forward +
+    masked-gather backward must match the XLA path."""
+    from salient_plusplus_tpu.models import make_model
+    from salient_plusplus_tpu.train.state import create_train_state
+    from salient_plusplus_tpu.train.step import make_train_step
+
+    batch, g = _sample_batch()
+    feats = jnp.asarray(np.asarray(g.x), jnp.float32)
+    model = make_model("GAT", g.num_features, 16, g.num_classes, 2, 0.0)
+    batch_dev = jax.device_put(batch)
+
+    results = {}
+    for use in (False, True):
+        M.use_mxu_spmm(use, interpret=use)
+        ex_x = feats[batch_dev.n_id]
+        state = create_train_state(model, ex_x, batch_dev, 0.01, seed=0)
+        state2, loss = make_train_step()(state, feats, batch_dev)
+        results[use] = (float(loss),
+                        jax.tree_util.tree_map(np.asarray, state2.params))
+    assert abs(results[False][0] - results[True][0]) < 2e-3
+    for a, b in zip(jax.tree_util.tree_leaves(results[False][1]),
+                    jax.tree_util.tree_leaves(results[True][1])):
+        np.testing.assert_allclose(a, b, atol=5e-3, rtol=5e-3)
