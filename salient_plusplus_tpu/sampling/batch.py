@@ -104,6 +104,24 @@ class EdgeBlock(struct.PyTreeNode):
     count: "np.ndarray"   # int32 [] — actual number of edges
     msrc: "np.ndarray" = None   # int32 [E_cap] sorted srcs (or None)
     mdst: "np.ndarray" = None   # int32 [E_cap] dsts in msrc order (or None)
+    # wire-compressed dst: per-target in-batch degrees (uint8 [out_cap];
+    # degree <= fanout <= 127). When present, ``dst`` ships as None and is
+    # reconstructed on device by one searchsorted over cumsum(ddeg) —
+    # whose out-of-range result is exactly the pad convention (== out_cap)
+    ddeg: "np.ndarray" = None
+
+    def decoded(self, E_cap: int):
+        """Materialize dst from ddeg (device-side, one searchsorted)."""
+        if self.ddeg is None:
+            return self
+        import jax
+        import jax.numpy as jnp
+
+        bounds = jnp.cumsum(self.ddeg.astype(jnp.int32))
+        e_iota = jax.lax.broadcasted_iota(jnp.int32, (E_cap,), 0)
+        dst = jnp.searchsorted(bounds, e_iota, side="right"
+                               ).astype(jnp.int32)
+        return self.replace(dst=dst, ddeg=None)
 
 
 class PaddedBatch(struct.PyTreeNode):

@@ -99,6 +99,30 @@ class BatchBuffers:
         self.cold_req = None
         self.cold_count = np.int32(0)
         self.gsrc = None
+        self.ddeg = None
+        self.ddeg_offsets = None
+
+    def attach_ddeg(self):
+        """Wire-compress dst: ship per-target uint8 degrees instead of the
+        int32 sorted dst arrays (~45% of batch H2D at [15,10,5]); the
+        device reconstructs dst with one searchsorted (EdgeBlock.decoded).
+        Requires every fanout in (0, 127]."""
+        spec = self.spec
+        assert all(0 < f <= 127 for f in spec.fanouts), spec.fanouts
+        self.ddeg_offsets = np.zeros(spec.num_hops + 1, np.int64)
+        np.cumsum(np.asarray(spec.node_caps[:-1], np.int64),
+                  out=self.ddeg_offsets[1:])
+        self.ddeg = np.zeros(self.ddeg_offsets[-1], np.uint8)
+
+    def fill_ddeg(self):
+        off_e = self.edge_offsets
+        for h in range(self.spec.num_hops):
+            T = self.spec.node_caps[h]
+            cnt = int(self.edge_counts[h])
+            d = np.bincount(self.edge_dst[off_e[h]:off_e[h] + cnt],
+                            minlength=T)[:T]
+            o = self.ddeg_offsets[h]
+            self.ddeg[o:o + T] = d.astype(np.uint8)
 
     def attach_gsrc(self):
         # zero-size marker: with gsrc mode on, the outermost hop's src
@@ -202,15 +226,19 @@ class BatchBuffers:
         spec = self.spec
         L = spec.num_hops
         off = self.edge_offsets
+        do = self.ddeg_offsets
         edges = tuple(
             EdgeBlock(
                 src=self.edge_src[off[h]:off[h + 1]],
-                dst=self.edge_dst[off[h]:off[h + 1]],
+                dst=(self.edge_dst[off[h]:off[h + 1]]
+                     if self.ddeg is None else None),
                 count=self.edge_counts[h],
                 msrc=(self.mirror_src[off[h]:off[h + 1]]
                       if h < L - 1 else None),
                 mdst=(self.mirror_dst[off[h]:off[h + 1]]
                       if h < L - 1 else None),
+                ddeg=(self.ddeg[do[h]:do[h + 1]]
+                      if self.ddeg is not None else None),
             )
             for h in reversed(range(L))
         )

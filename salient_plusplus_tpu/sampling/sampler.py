@@ -110,6 +110,9 @@ class FastSamplerConfig:
     cold_r_cap: int = 0
     # emit global src ids for the outermost hop (PaddedBatch.gsrc)
     emit_gsrc: bool = False
+    # ship per-target uint8 degrees instead of int32 dst arrays
+    # (EdgeBlock.ddeg; fanouts must be in (0, 127])
+    compress_dst: bool = False
 
 
 class FastSamplerIter:
@@ -148,6 +151,8 @@ class FastSamplerIter:
                                  cfg.x_cold.dtype)
             if cfg.emit_gsrc:
                 bufs.attach_gsrc()
+            if cfg.compress_dst:
+                bufs.attach_ddeg()
             self._free.put(bufs)
         for bno, seeds in enumerate(self.batches):
             self._work.put(bno)
@@ -189,6 +194,8 @@ class FastSamplerIter:
                     dropped = bufs.fill_cold(cfg.x_cold, cfg.hot_cutoff)
                     if dropped:
                         self.stats.dropped_nodes += dropped
+                if cfg.compress_dst:
+                    bufs.fill_ddeg()
                 if cfg.emit_gsrc:
                     bufs.fill_gsrc()
             except BaseException as e:  # surface in the consumer, don't hang
@@ -278,6 +285,8 @@ class FastPreSampler:
                                  cfg.x_cold.dtype)
             if cfg.emit_gsrc:
                 bufs.attach_gsrc()
+            if cfg.compress_dst:
+                bufs.attach_ddeg()
             self.sampler.native.sample_into(
                 bufs, batches[bno],
                 rng_seed=batch_seed(cfg.base_seed, epoch, bno),
@@ -290,6 +299,8 @@ class FastPreSampler:
                                            cfg.cold_hot_size)
             elif cfg.hot_cutoff is not None:
                 bufs.fill_cold(cfg.x_cold, cfg.hot_cutoff)
+            if cfg.compress_dst:
+                bufs.fill_ddeg()
             if cfg.emit_gsrc:
                 bufs.fill_gsrc()
             return bno, bufs

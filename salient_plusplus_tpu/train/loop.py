@@ -132,6 +132,8 @@ class Trainer:
         # the frontier gather then shrinks to the level-(L-1) prefix
         self.global_msg0 = (self.hot_cutoff is None and
                             cfg.model_name in ("SAGE", "SAGEClassic", "GIN"))
+        # ship uint8 per-target degrees instead of int32 dst (wire cut)
+        self.compress_dst = all(0 < f <= 127 for f in cfg.train_fanouts)
         self.train_sampler = FastSampler(
             self.native.rowptr, self.native.col,
             np.asarray(graph.y, np.int32),
@@ -140,7 +142,8 @@ class Trainer:
                 base_seed=cfg.seed, num_workers=cfg.num_workers,
                 max_batches_in_flight=cfg.max_batches_in_flight,
                 hot_cutoff=self.hot_cutoff, x_cold=self.x_cold,
-                cold_cap=cold_cap, emit_gsrc=self.global_msg0))
+                cold_cap=cold_cap, emit_gsrc=self.global_msg0,
+                compress_dst=self.compress_dst))
         self.shuffler = Shuffler(train_idx, initial_seed=cfg.seed + 2**31 - 1)
 
         # hot features resident in HBM, bf16
@@ -280,7 +283,8 @@ class Trainer:
                 base_seed=cfg.seed + 7, num_workers=cfg.num_workers,
                 max_batches_in_flight=cfg.max_batches_in_flight,
                 hot_cutoff=self.hot_cutoff, x_cold=self.x_cold,
-                cold_cap=cold_cap, emit_gsrc=self.global_msg0),
+                cold_cap=cold_cap, emit_gsrc=self.global_msg0,
+                compress_dst=all(0 < f <= 127 for f in fanouts)),
             idx=eval_idx)
 
     def evaluate(self, split: str) -> float:

@@ -40,6 +40,15 @@ def gather_features(features: jnp.ndarray, batch: PaddedBatch) -> jnp.ndarray:
     return x
 
 
+def decode_batch(batch: PaddedBatch) -> PaddedBatch:
+    """Materialize wire-compressed edge fields (EdgeBlock.ddeg → dst) once
+    per step; downstream code sees plain sorted COO."""
+    if all(e.ddeg is None for e in batch.edges):
+        return batch
+    return batch.replace(edges=tuple(
+        e.decoded(e.src.shape[0]) for e in batch.edges))
+
+
 def _x_and_extra(features, batch: PaddedBatch, global_msg0: bool):
     """Frontier features + model kwargs for one step.
 
@@ -73,6 +82,7 @@ def make_train_step(pmean_axis: Optional[str] = None,
 
     def train_step(state: TrainState, features: jnp.ndarray,
                    batch: PaddedBatch):
+        batch = decode_batch(batch)
         key = jax.random.fold_in(state.dropout_key, state.step)
 
         def loss_fn(params):
@@ -109,6 +119,7 @@ def make_eval_step(psum_axis: Optional[str] = None,
 
     def eval_step(state: TrainState, features: jnp.ndarray,
                   batch: PaddedBatch):
+        batch = decode_batch(batch)
         x, extra = _x_and_extra(features, batch, global_msg0)
         out = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
