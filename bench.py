@@ -45,7 +45,11 @@ def main():
     cfg = RunConfig(
         train_batch_size=1024, train_fanouts=[15, 10, 5],
         hidden_features=256, num_layers=3, lr=0.003,
-        num_workers=max(2, (os.cpu_count() or 4) - 1),
+        # oversubscribe: the feeder thread mostly blocks on device
+        # dispatch, so cpu_count sampler threads beat cpu_count-1 (the
+        # 3->4 worker change alone was +20% on the 4-core bench host)
+        num_workers=int(os.environ.get("BENCH_WORKERS",
+                                       max(2, os.cpu_count() or 4))),
         max_batches_in_flight=8,
         calibration_batches=int(os.environ.get("BENCH_CAL", 20)),
         spec_safety=float(os.environ.get("BENCH_SAFETY", 1.08)),

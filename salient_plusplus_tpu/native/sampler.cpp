@@ -396,6 +396,19 @@ void sptpu_mirror_by_src(const int32_t* src, const int32_t* dst,
   }
 }
 
+// Per-target degree counts of a (sorted or not) dst array — the uint8
+// wire-compression payload (EdgeBlock.ddeg). Zero-fills [0, t) first.
+void sptpu_count_dst(const int32_t* dst, int32_t count, int32_t t,
+                     uint8_t* out) {
+  std::memset(out, 0, (size_t)t);
+  for (int32_t e = 0; e < count; ++e) ++out[dst[e]];
+}
+
+// In-place int32 take: idx[i] = vals[idx[i]] (global-src rewrite).
+void sptpu_take_i32_inplace(const int32_t* vals, int32_t* idx, int64_t n) {
+  for (int64_t i = 0; i < n; ++i) idx[i] = vals[idx[i]];
+}
+
 // Row-gather of a 2-D row-major array: out[i, :] = in[idx[i], :].
 // The host-tier feature slicer (analog of the reference's serial_index,
 // fast_sampler.cpp:238-279) for features that do not fit in HBM.

@@ -38,6 +38,11 @@ def _load_lib():
         ctypes.POINTER(ctypes.c_double), ctypes.c_uint64, ctypes.c_int32,
         _c_i32p,
     ]
+    lib.sptpu_count_dst.argtypes = [
+        _c_i32p, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.sptpu_take_i32_inplace.argtypes = [_c_i32p, _c_i32p, ctypes.c_int64]
     lib.sptpu_mirror_by_src.argtypes = [
         _c_i32p, _c_i32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         _c_i32p, _c_i32p, _c_i32p,
@@ -115,14 +120,17 @@ class BatchBuffers:
         self.ddeg = np.zeros(self.ddeg_offsets[-1], np.uint8)
 
     def fill_ddeg(self):
+        lib = get_lib()
         off_e = self.edge_offsets
         for h in range(self.spec.num_hops):
-            T = self.spec.node_caps[h]
-            cnt = int(self.edge_counts[h])
-            d = np.bincount(self.edge_dst[off_e[h]:off_e[h] + cnt],
-                            minlength=T)[:T]
-            o = self.ddeg_offsets[h]
-            self.ddeg[o:o + T] = d.astype(np.uint8)
+            T = int(self.spec.node_caps[h])
+            o = int(self.ddeg_offsets[h])
+            lib.sptpu_count_dst(
+                _ptr(self.edge_dst[int(off_e[h]):], _c_i32p),
+                ctypes.c_int32(int(self.edge_counts[h])),
+                ctypes.c_int32(T),
+                self.ddeg[o:].ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_uint8)))
 
     def attach_gsrc(self):
         # zero-size marker: with gsrc mode on, the outermost hop's src
@@ -135,8 +143,9 @@ class BatchBuffers:
         into the frontier, which layer 0 skips in gsrc mode."""
         off = int(self.edge_offsets[self.spec.num_hops - 1])
         cap = int(self.spec.edge_caps[-1])
-        sl = self.edge_src[off:off + cap]
-        sl[:] = self.n_id[sl]  # rhs materializes before the aliased write
+        get_lib().sptpu_take_i32_inplace(
+            _ptr(self.n_id, _c_i32p),
+            _ptr(self.edge_src[off:], _c_i32p), ctypes.c_int64(cap))
 
     def attach_cold(self, cold_cap: int, num_features: int, dtype):
         self.cold_rows = np.zeros((cold_cap, num_features), dtype)
