@@ -27,10 +27,11 @@ K_MULTIPLIER = 1.25
 
 
 def recommended_num_workers(cpu_count: int = 0) -> int:
-    """Sampler threads: leave one core for the runtime, one for the feeder
-    (the reference's heuristic scales with hardware_concurrency)."""
+    """Sampler threads: use every core — the feeder thread blocks on
+    device dispatch, so oversubscription is free (measured +20% vs n-1
+    on a 4-core host; PERF_NOTES.md)."""
     n = cpu_count or os.cpu_count() or 4
-    return max(1, n - 1)
+    return max(1, n)
 
 
 def feasible_datasets(free_gb: float = 0.0,

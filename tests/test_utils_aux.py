@@ -153,3 +153,18 @@ def test_collect_data_wiring(tmp_path, monkeypatch):
     assert files, "collector produced no dumps"
     z = np.load(files[0])
     assert "level_sizes" in z
+
+
+def test_downloader_fails_fast_without_egress(tmp_path):
+    """No-egress environments must get an actionable error, not a hang
+    (reference parity: utils/download_datasets_fast.py)."""
+    import pytest
+
+    from salient_plusplus_tpu.utils.download_datasets import (
+        archive_url, download_partitioned)
+
+    assert archive_url("ogbn-products", 8).endswith("ogbn-products-8.tar.gz")
+    with pytest.raises(RuntimeError, match="egress|download"):
+        download_partitioned("ogbn-products", 8, str(tmp_path), timeout=2.0)
+    with pytest.raises(ValueError):
+        download_partitioned("not-a-dataset", 2, str(tmp_path))
