@@ -99,6 +99,7 @@ def run_computation(cfg, graph, job_dir: str, logger):
                                            cfg.effective_patience)
                          if cfg.use_lrs else None)
             best_acc, best_epoch = 0.0, -1
+            best_snapshot = None  # in-memory, multi-host safe
             start_epoch = 0
             resume = ckpt.latest_epoch(job_dir, trial)
             if resume is not None and os.environ.get("RESUME", "0") == "1":
@@ -118,14 +119,22 @@ def run_computation(cfg, graph, job_dir: str, logger):
                     logger.log("valid", trial, epoch, acc)
                     if acc > best_acc:
                         best_acc, best_epoch = acc, epoch
+                        # replicated arrays are process-locally readable:
+                        # snapshot on EVERY process (restoring from disk
+                        # would require a shared filesystem — host 0 is
+                        # the only checkpoint writer)
+                        best_snapshot = jax.tree_util.tree_map(
+                            np.asarray, (trainer.state.params,
+                                         trainer.state.batch_stats))
                         if jax.process_index() == 0:
                             ckpt.save(job_dir, trainer.state, trial, epoch,
                                       acc)
             # score the best-validation model, not the last epoch
             # (driver/main.py:220-235 reloads the best checkpoint)
-            if best_epoch >= 0:
-                trainer.state = ckpt.restore(job_dir, trainer.state,
-                                             trial, best_epoch)
+            if best_snapshot is not None:
+                params, batch_stats = trainer._replicate(best_snapshot)
+                trainer.state = trainer.state.replace(
+                    params=params, batch_stats=batch_stats)
             final_valid = trainer.evaluate("valid")
             final_test = trainer.evaluate("test")
         else:
@@ -161,6 +170,10 @@ def do_test_run(cfg, graph, job_dir: str, checkpoint_epochs, logger):
 
 
 def main(argv=None):
+    # multi-host bootstrap must precede any backend-initializing JAX call
+    from .parallel.mesh import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     from .config import RunConfig
     from .utils.logging import RunLogger
 

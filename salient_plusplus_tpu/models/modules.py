@@ -59,8 +59,10 @@ def _layer0_inputs(x, batch: PaddedBatch, features, out_cap, dtype):
     e0 = batch.edges[0]
     if features is not None and batch.gsrc is not None:
         # gsrc mode: e0.src already carries GLOBAL ids (sampler rewrote
-        # them in place; batch.gsrc is the zero-size mode marker)
-        return features.astype(dtype), e0
+        # them in place; batch.gsrc is the zero-size mode marker). Avoid
+        # casting the whole table in-step — the trainer stores it bf16.
+        f = features if features.dtype == dtype else features.astype(dtype)
+        return f, e0
     return x, e0
 
 

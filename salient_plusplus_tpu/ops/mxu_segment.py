@@ -233,10 +233,9 @@ def _spmm_bwd(out_cap, mean, res, d_out):
     d_x = sorted_segment_sum_mxu(h, msrc, n_in_cap,
                                  interpret=_INTERPRET).astype(x_dtype)
 
-    def f0(a):
-        return np.zeros(a.shape, jax.dtypes.float0)
-
-    return (d_x, f0(msrc), f0(msrc), f0(msrc), f0(mdst))
+    # src/dst/msrc/mdst all share shape [E_cap] by construction
+    ez = np.zeros(msrc.shape, jax.dtypes.float0)
+    return (d_x, ez, ez, ez, ez)
 
 
 _spmm_agg_vjp.defvjp(

@@ -33,20 +33,21 @@ def maybe_initialize_distributed() -> None:
     """Multi-host bootstrap (idempotent). On TPU pods the coordinator is
     discovered from the environment; single-process runs are a no-op.
 
-    Fail-fast (SURVEY §5.3): when a multi-process run is clearly intended
-    (coordinator/process env vars present), a failed bootstrap raises
-    instead of silently degrading to a single-process run.
+    Must run BEFORE any other JAX call (even jax.process_count()
+    initializes the backends, after which jax.distributed.initialize
+    refuses to run). Fail-fast (SURVEY §5.3): when a multi-process run is
+    clearly intended (coordinator/process env vars present), a failed
+    bootstrap raises instead of silently degrading to single-process.
     """
     import os
 
-    if jax.process_count() > 1:
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
         return  # already initialized
     intended = any(v in os.environ for v in (
         "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
         "JAX_NUM_PROCESSES", "JAX_PROCESS_ID"))
-    try:
-        jax.distributed.initialize()
-    except Exception:
-        if intended:
-            raise  # a half-configured pod must not train single-process
-        # plain single-process / unsupported backend: fine
+    if not intended:
+        return  # plain single-process run: leave jax alone
+    jax.distributed.initialize()  # raises on a half-configured pod

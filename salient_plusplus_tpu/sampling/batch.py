@@ -163,30 +163,3 @@ class PaddedBatch(struct.PyTreeNode):
 
     def num_real_edges(self) -> int:
         return int(sum(int(e.count) for e in self.edges))
-
-
-def batch_shape_dtypes(spec: BatchSpec):
-    """ShapeDtypeStruct pytree for a PaddedBatch under ``spec`` (for
-    jax.eval_shape / device_put layout planning)."""
-    import jax
-
-    def sd(shape, dtype=np.int32):
-        return jax.ShapeDtypeStruct(shape, dtype)
-
-    L = spec.num_hops
-    edges = tuple(
-        EdgeBlock(src=sd((spec.edge_caps[h],)), dst=sd((spec.edge_caps[h],)),
-                  count=sd(()),
-                  msrc=sd((spec.edge_caps[h],)) if h < L - 1 else None,
-                  mdst=sd((spec.edge_caps[h],)) if h < L - 1 else None)
-        for h in reversed(range(L))
-    )
-    return PaddedBatch(
-        n_id=sd((spec.total_node_cap,)),
-        level_sizes=sd((L + 1,)),
-        edges=edges,
-        y=sd((spec.seed_cap,)),
-        seed_count=sd(()),
-        overflow=sd((2,)),
-        spec=spec,
-    )

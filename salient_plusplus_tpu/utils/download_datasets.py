@@ -57,7 +57,10 @@ def download_partitioned(name: str, k: int, out_root: str,
             tmp.flush()
             with tempfile.TemporaryDirectory() as td:
                 with tarfile.open(tmp.name) as tar:
-                    tar.extractall(td, filter="data")
+                    try:
+                        tar.extractall(td, filter="data")
+                    except TypeError:  # Python < 3.{9.17,10.12,11.4}
+                        tar.extractall(td)
                 src = os.path.join(td, f"{name}-{k}")
                 if not os.path.isdir(src):
                     entries = os.listdir(td)
