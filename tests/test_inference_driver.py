@@ -129,3 +129,34 @@ def test_driver_multi_trial_and_resume(tmp_path):
     ])
     assert len(out) == 2
     assert out[0]["final_valid"] != 0 and out[1]["final_valid"] != 0
+
+
+def test_driver_distributed_resume(tmp_path, monkeypatch):
+    """RESUME=1 restarts the distributed driver path from the latest
+    checkpoint (SURVEY §5.3/5.4: restart-from-checkpoint), continuing at
+    start_epoch = resume+1 instead of epoch 0."""
+    from salient_plusplus_tpu import driver
+
+    args = [
+        "synth:V=2000,C=4,deg=8,F=8", "dres",
+        "--distribute_data", "true",
+        "--trials", "1", "--epochs", "2", "--train_batch_size", "32",
+        "--train_fanouts", "4,3", "--batchwise_test_fanouts", "4,4",
+        "--final_test_fanouts", "4,4", "--num_layers", "2",
+        "--hidden_features", "8", "--num_workers", "1",
+        "--calibration_batches", "2", "--lr", "0.01",
+        "--test_epoch_frequency", "1",
+        "--output_root", str(tmp_path),
+    ]
+    out1 = driver.main(args)
+    assert len(out1) == 1 and out1[0]["best_epoch"] >= 0
+
+    monkeypatch.setenv("RESUME", "1")
+    out2 = driver.main(args[:6] + ["--epochs", "3"] + args[8:])
+    assert len(out2) == 1
+    # resumed run logged the resume event and trained only the new epochs
+    log = (tmp_path / "dres" / "host0_logs.txt").read_text()
+    assert "'resumed'" in log
+    # epoch 0/1 epoch_time lines appear once (first run), epoch 2 from
+    # the resumed run
+    assert "('epoch_time', 0, 2," in log
