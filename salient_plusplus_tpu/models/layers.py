@@ -99,7 +99,8 @@ class GATConv(nn.Module):
         logits = alpha_src[edge.src] + alpha_dst[edge.dst]   # [E, H]
         logits = nn.leaky_relu(logits, self.negative_slope)
         att = masked_segment_softmax(
-            logits.astype(jnp.float32), edge.dst, edge.count, out_cap
+            logits.astype(jnp.float32), edge.dst, edge.count, out_cap,
+            sorted_dst=True,  # sampler layout → scan-based, scatter-free
         ).astype(self.dtype)                        # [E, H]
         msg = xs[edge.src] * att[:, :, None]        # [E, H, C]
         if mxu_spmm_enabled():

@@ -127,14 +127,70 @@ def masked_segment_max(values: jnp.ndarray, dst: jnp.ndarray, count,
     return jnp.where(cond, out, fill)[:num_segments]
 
 
-def masked_segment_softmax(logits: jnp.ndarray, dst: jnp.ndarray, count,
+def sorted_segment_softmax(logits: jnp.ndarray, dst: jnp.ndarray, count,
                            num_segments: int) -> jnp.ndarray:
+    """Scatter- and gather-free per-target softmax for TARGET-GROUPED
+    edges (dst nondecreasing — the sampler layout).
+
+    Four segmented associative scans instead of segment_max/sum scatters
+    (which XLA lowers to serialized while-loops on TPU): a forward and a
+    backward segmented running-max give every edge its full-segment max
+    (max(fwd, bwd)), and likewise fwd+bwd running sums of exp give the
+    full-segment denominator (fwd + bwd − self). No indexed memory ops at
+    all — pure scans + elementwise, which is the TPU-native shape of this
+    computation.
+    """
+    E = dst.shape[0]
+    mask = valid_mask(E, count)
+    two_d = logits.ndim == 2
+    lg = logits if two_d else logits[:, None]
+    m = mask[:, None]
+    neg = jnp.asarray(jnp.finfo(lg.dtype).min, lg.dtype)
+    lg = jnp.where(m, lg, neg)
+
+    # segment-start flags in forward / reverse traversal order
+    start_f = jnp.concatenate(
+        [jnp.ones(1, bool), dst[1:] != dst[:-1]])[:, None]
+    start_r = jnp.concatenate(
+        [(dst[:-1] != dst[1:]), jnp.ones(1, bool)])[:, None]
+
+    def seg_scan(vals, starts, combine_op, reverse):
+        def comb(a, b):
+            fa, va = a
+            fb, vb = b
+            return fa | fb, jnp.where(fb, vb, combine_op(va, vb))
+
+        _, out = jax.lax.associative_scan(
+            comb, (jnp.broadcast_to(starts, vals.shape), vals),
+            axis=0, reverse=reverse)
+        return out
+
+    fwd_max = seg_scan(lg, start_f, jnp.maximum, False)
+    bwd_max = seg_scan(lg, start_r, jnp.maximum, True)
+    seg_max = jnp.maximum(fwd_max, bwd_max)
+    seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0)
+    ex = jnp.where(m, jnp.exp(lg - seg_max), 0)
+    fwd_sum = seg_scan(ex, start_f, jnp.add, False)
+    bwd_sum = seg_scan(ex, start_r, jnp.add, True)
+    denom = jnp.maximum(fwd_sum + bwd_sum - ex,
+                        jnp.asarray(1e-16, lg.dtype))
+    att = ex / denom
+    return att if two_d else att[:, 0]
+
+
+def masked_segment_softmax(logits: jnp.ndarray, dst: jnp.ndarray, count,
+                           num_segments: int,
+                           sorted_dst: bool = False) -> jnp.ndarray:
     """Per-target softmax over incoming edges (GAT attention).
 
     logits: [E] or [E, H]; returns same shape with padded edges = 0.
     Numerically stable via segment max subtraction; empty segments are
-    guarded against inf/NaN.
+    guarded against inf/NaN. With ``sorted_dst`` (the sampler's
+    target-grouped layout) the scan-based scatter-free formulation is
+    used instead of XLA segment_max/sum.
     """
+    if sorted_dst:
+        return sorted_segment_softmax(logits, dst, count, num_segments)
     mask = valid_mask(dst.shape[0], count)
     safe_dst = jnp.where(mask, dst, num_segments)
     neg = jnp.asarray(jnp.finfo(logits.dtype).min, logits.dtype)

@@ -99,3 +99,32 @@ def test_scan_segment_sum_matches_scatter():
     b = np.asarray(masked_segment_sum(jnp.asarray(vals), jnp.asarray(dst),
                                       count, T))
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+def test_sorted_segment_softmax_matches_scatter_version():
+    """Scan-based softmax (sorted layout) must equal the XLA
+    segment_max/sum formulation, including padding and empty segments."""
+    import jax.numpy as jnp
+
+    from salient_plusplus_tpu.ops.segment import (masked_segment_softmax,
+                                                  sorted_segment_softmax)
+
+    rng = np.random.default_rng(3)
+    E, T = 512, 96
+    n_real = 430
+    dst = np.sort(rng.integers(0, T, n_real)).astype(np.int32)
+    dst = np.concatenate([dst, np.full(E - n_real, T, np.int32)])
+    for shape in ((E,), (E, 4)):
+        logits = rng.standard_normal(shape).astype(np.float32)
+        a = sorted_segment_softmax(jnp.asarray(logits), jnp.asarray(dst),
+                                   jnp.int32(n_real), T)
+        b = masked_segment_softmax(jnp.asarray(logits), jnp.asarray(dst),
+                                   jnp.int32(n_real), T, sorted_dst=False)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+        # rows sum to 1 per nonempty segment
+        att = np.asarray(a)
+        sums = np.zeros((T,) + shape[1:])
+        np.add.at(sums, dst[:n_real], att[:n_real])
+        nonempty = np.bincount(dst[:n_real], minlength=T)[:T] > 0
+        np.testing.assert_allclose(sums[nonempty], 1.0, atol=1e-5)
