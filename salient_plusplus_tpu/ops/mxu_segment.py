@@ -151,6 +151,11 @@ def sorted_segment_sum_mxu(vals: jnp.ndarray, ids: jnp.ndarray,
     of 128 (BatchSpec caps are). Returns float32 [num_segments, F].
     """
     E, F = vals.shape
+    # Mosaic HBM->VMEM copies need 128-lane-aligned minor dims; pad the
+    # feature axis up (bench shapes are already aligned — zero cost there)
+    F_pad = -(-F // 128) * 128
+    if F_pad != F:
+        vals = jnp.pad(vals, ((0, 0), (0, F_pad - F)))
     if E % G:
         pad = G - E % G
         vals = jnp.pad(vals, ((0, pad), (0, 0)))
@@ -174,10 +179,10 @@ def sorted_segment_sum_mxu(vals: jnp.ndarray, ids: jnp.ndarray,
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
-        out_specs=pl.BlockSpec((TT, F), lambda t, ptr: (t, 0)),
+        out_specs=pl.BlockSpec((TT, F_pad), lambda t, ptr: (t, 0)),
         scratch_shapes=[
             pltpu.VMEM((NBUF, 8, G), jnp.int32),
-            pltpu.VMEM((NBUF, G, F), vals.dtype),
+            pltpu.VMEM((NBUF, G, F_pad), vals.dtype),
             pltpu.SMEM((2,), jnp.int32),
             pltpu.SemaphoreType.DMA((NBUF, 2)),
         ],
@@ -185,10 +190,12 @@ def sorted_segment_sum_mxu(vals: jnp.ndarray, ids: jnp.ndarray,
     out = pl.pallas_call(
         _segment_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T_pad, F), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T_pad, F_pad), jnp.float32),
         interpret=interpret,
     )(tile_ptr, ids2d, vals)
-    return out[:num_segments] if T_pad != num_segments else out
+    if T_pad != num_segments:
+        out = out[:num_segments]
+    return out[:, :F] if F_pad != F else out
 
 
 def _sorted_degrees(ids: jnp.ndarray, num_segments: int) -> jnp.ndarray:

@@ -35,8 +35,23 @@ def gather_features(features: jnp.ndarray, batch: PaddedBatch) -> jnp.ndarray:
     idx = jnp.minimum(batch.n_id, features.shape[0] - 1)
     x = jnp.take(features, idx, axis=0)
     if batch.cold_rows is not None:
-        x = x.at[batch.cold_pos].set(batch.cold_rows.astype(x.dtype),
-                                     mode="drop")
+        from ..ops.mxu_segment import _INTERPRET, _sorted_degrees
+        from ..ops.mxu_segment import mxu_spmm_enabled, sorted_segment_sum_mxu
+
+        if mxu_spmm_enabled():
+            # single-host cold_pos is ASCENDING (fill_cold scans the
+            # frontier in order), so the overlay is a sorted placement:
+            # one MXU-kernel call writes the rows and a searchsorted-diff
+            # builds the presence mask — no per-row scatter (~12ns/row on
+            # TPU) remains in the step
+            placed = sorted_segment_sum_mxu(
+                batch.cold_rows.astype(x.dtype), batch.cold_pos,
+                x.shape[0], interpret=_INTERPRET)
+            mask = _sorted_degrees(batch.cold_pos, x.shape[0]) > 0
+            x = jnp.where(mask[:, None], placed.astype(x.dtype), x)
+        else:
+            x = x.at[batch.cold_pos].set(batch.cold_rows.astype(x.dtype),
+                                         mode="drop")
     return x
 
 

@@ -39,3 +39,35 @@ def test_host_tier_tiny_fraction(small_graph):
                     jax.tree_util.tree_leaves(p_tiny)):
         np.testing.assert_array_equal(a, b)
     assert acc_full == acc_tiny
+
+
+def test_cold_overlay_kernel_matches_scatter(tiny_graph):
+    """The MXU-kernel cold overlay (sorted placement + presence column)
+    must equal the scatter overlay exactly on the same batch."""
+    import jax
+    import numpy as np
+
+    from salient_plusplus_tpu.config import RunConfig
+    from salient_plusplus_tpu.ops import mxu_segment as M
+    from salient_plusplus_tpu.train.loop import Trainer
+    from salient_plusplus_tpu.train.step import gather_features
+
+    cfg = RunConfig(train_batch_size=64, train_fanouts=[5, 3],
+                    batchwise_test_fanouts=[6, 6],
+                    final_test_fanouts=[6, 6], hidden_features=16,
+                    num_layers=2, lr=0.01, num_workers=1,
+                    calibration_batches=2, seed=2, hbm_fraction=0.5)
+    t = Trainer(cfg, tiny_graph)
+    t.train_sampler.set_epoch(t.shuffler.get_idx(0), 0)
+    it = iter(t.train_sampler)
+    b = jax.device_put(jax.tree_util.tree_map(np.array,
+                                              next(it).to_padded_batch()))
+    it.close()
+    assert b.cold_rows is not None and int(b.cold_count) > 0
+
+    M.use_mxu_spmm(True, interpret=True)
+    x_kernel = np.asarray(gather_features(t.features, b), np.float32)
+    M.use_mxu_spmm(False)
+    x_scatter = np.asarray(gather_features(t.features, b), np.float32)
+    M.use_mxu_spmm(None, interpret=False)
+    np.testing.assert_array_equal(x_kernel, x_scatter)
