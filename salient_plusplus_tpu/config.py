@@ -77,8 +77,20 @@ class RunConfig:
 
     # --- static-shape bucketing (TPU-specific; no reference analog) ---
     spec_safety: float = 1.3          # capacity head-room over calibrated max
-    calibration_batches: int = 8
+    calibration_batches: int = 20     # probes are cheap; more probes →
+    #                                   tighter caps AND a better-fitting
+    #                                   tight bucket (quantile of probes)
     calibrate_worst_case: bool = True  # include a top-degree probe batch
+    # static-shape padding recovery: with 2 buckets, batches that fit a
+    # quantile-calibrated TIGHT spec are repacked into it (one extra XLA
+    # program; typical batches stop paying the worst-case row padding).
+    # Measured on the bench shape (_scratch/quantile_sweep.py): at the
+    # production caps (safety 1.3 + worst-case probe) padding waste drops
+    # 45-50% → 4.5-5.6% with 96% of batches in the tight bucket.
+    spec_buckets: int = 2
+    tight_quantile: float = 1.0       # probe quantile for the tight bucket
+    #   (1.0 = max over the random probes, no safety margin — dominates
+    #    lower quantiles: higher fit rate outweighs slightly looser caps)
 
     # --- precision ---
     param_dtype: str = "float32"

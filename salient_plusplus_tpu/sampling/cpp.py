@@ -230,6 +230,53 @@ class BatchBuffers:
                     + local[pos] - hot_size)
         return self._fill_cold_rows(x_cold, pos, cold_idx)
 
+    def try_repack_from(self, b: "BatchBuffers") -> bool:
+        """Copy a sampled batch from big-spec buffers ``b`` into these
+        (tighter) buffers, if it fits — the 2-bucket padding recovery.
+
+        Every region is a PREFIX copy: all real data sits at the front of
+        each per-hop slice, and every pad convention survives because the
+        big spec's pad values (its caps) sort/fall strictly AFTER the tight
+        caps used as num_segments on device. Returns False (untouched) if
+        any level or hop exceeds this spec's caps."""
+        s, bs = self.spec, b.spec
+        assert s.fanouts == bs.fanouts and s.seed_cap == bs.seed_cap
+        L = s.num_hops
+        ls = b.level_sizes
+        if any(int(ls[i]) > s.node_caps[i] for i in range(L + 1)):
+            return False
+        if any(int(b.edge_counts[h]) > s.edge_caps[h] for h in range(L)):
+            return False
+        self.n_id[:] = b.n_id[:s.total_node_cap]
+        self.level_sizes[:] = ls
+        self.edge_counts[:] = b.edge_counts
+        self.overflow[:] = b.overflow
+        self.y[:] = b.y
+        self.seed_count = b.seed_count
+        for h in range(L):
+            so, bo = int(self.edge_offsets[h]), int(b.edge_offsets[h])
+            c = int(s.edge_caps[h])
+            self.edge_src[so:so + c] = b.edge_src[bo:bo + c]
+            self.edge_dst[so:so + c] = b.edge_dst[bo:bo + c]
+            if h < L - 1 and self.mirror_src.shape[0]:
+                self.mirror_src[so:so + c] = b.mirror_src[bo:bo + c]
+                self.mirror_dst[so:so + c] = b.mirror_dst[bo:bo + c]
+            if self.ddeg is not None:
+                do, bdo = int(self.ddeg_offsets[h]), int(b.ddeg_offsets[h])
+                n = int(s.node_caps[h])
+                self.ddeg[do:do + n] = b.ddeg[bdo:bdo + n]
+        if self.cold_pos is not None:
+            cnt = int(b.cold_count)
+            self.cold_pos[:] = b.cold_pos
+            self.cold_count = b.cold_count
+            if self.cold_rows is not None:
+                # rows past cold_count are dropped by their pad positions;
+                # stale tails here are never read
+                self.cold_rows[:cnt] = b.cold_rows[:cnt]
+            if self.cold_req is not None:
+                self.cold_req[:] = b.cold_req
+        return True
+
     def to_padded_batch(self) -> PaddedBatch:
         """Zero-copy view as a PaddedBatch (hops reversed to processing order)."""
         spec = self.spec

@@ -67,16 +67,20 @@ class SamplerStats:
     dropped_nodes: int = 0
     dropped_edges: int = 0
     # static-shape padding accounting (padded rows cost real device time):
-    # waste fraction = 1 − real/(batches · cap)
+    # waste fraction = 1 − real/padded, where padded sums each batch's OWN
+    # bucket caps (2-bucket batches pay the tight caps, not the big ones)
     real_nodes: int = 0
     real_edges: int = 0
+    padded_nodes: int = 0
+    padded_edges: int = 0
+    tight_batches: int = 0
 
-    def node_waste(self, node_cap: int) -> float:
-        denom = self.batches * node_cap
+    def node_waste(self, node_cap: int = 0) -> float:
+        denom = self.padded_nodes or self.batches * node_cap
         return 1.0 - self.real_nodes / denom if denom else 0.0
 
-    def edge_waste(self, edge_cap_total: int) -> float:
-        denom = self.batches * edge_cap_total
+    def edge_waste(self, edge_cap_total: int = 0) -> float:
+        denom = self.padded_edges or self.batches * edge_cap_total
         return 1.0 - self.real_edges / denom if denom else 0.0
 
 
@@ -113,6 +117,9 @@ class FastSamplerConfig:
     # ship per-target uint8 degrees instead of int32 dst arrays
     # (EdgeBlock.ddeg; fanouts must be in (0, 127])
     compress_dst: bool = False
+    # second, tighter bucket: batches whose measured sizes fit are
+    # repacked into tight-spec buffers (less padding on device + wire)
+    tight_spec: Optional[BatchSpec] = None
 
 
 class FastSamplerIter:
@@ -140,10 +147,12 @@ class FastSamplerIter:
         self._free: queue.Queue = queue.Queue()
         self._work: queue.Queue = queue.Queue()
         self._shutdown = threading.Event()
+        self._free_tight: queue.Queue = queue.Queue()
         pool = min(cfg.max_batches_in_flight + cfg.num_workers,
                    max(2, self.num_batches + 1))
-        for _ in range(max(pool, 1)):
-            bufs = BatchBuffers(cfg.spec)
+
+        def make_bufs(spec):
+            bufs = BatchBuffers(spec)
             if cfg.cold_owner_mode:
                 bufs.attach_cold_requests(cfg.cold_world, cfg.cold_r_cap)
             elif cfg.hot_cutoff is not None or cfg.cold_part_size is not None:
@@ -153,7 +162,12 @@ class FastSamplerIter:
                 bufs.attach_gsrc()
             if cfg.compress_dst:
                 bufs.attach_ddeg()
-            self._free.put(bufs)
+            return bufs
+
+        for _ in range(max(pool, 1)):
+            self._free.put(make_bufs(cfg.spec))
+            if cfg.tight_spec is not None:
+                self._free_tight.put(make_bufs(cfg.tight_spec))
         for bno, seeds in enumerate(self.batches):
             self._work.put(bno)
         self._threads = []
@@ -198,8 +212,21 @@ class FastSamplerIter:
                     bufs.fill_ddeg()
                 if cfg.emit_gsrc:
                     bufs.fill_gsrc()
+                if cfg.tight_spec is not None:
+                    # Deterministic bucket choice: repack IFF the batch fits
+                    # the tight caps. The tight pool can never run dry here:
+                    # a tight buffer is only ever checked out *paired* with
+                    # a big one (released together on recycle), and the
+                    # pools are the same size, so holding a big buffer
+                    # guarantees a free tight one.
+                    tb = self._free_tight.get_nowait()
+                    if tb.try_repack_from(bufs):
+                        tb.paired = bufs  # big buf rides along until recycle
+                        bufs = tb
+                    else:
+                        self._free_tight.put(tb)
             except BaseException as e:  # surface in the consumer, don't hang
-                self._free.put(bufs)  # keep the pool at full capacity
+                self.recycle(bufs)  # keep pools at capacity
                 self._out.put((bno, e))
                 return
             self.stats.sample_time += time.perf_counter() - t0
@@ -236,10 +263,27 @@ class FastSamplerIter:
         self.stats.dropped_edges += int(bufs.overflow[1])
         self.stats.real_nodes += int(bufs.level_sizes[-1])
         self.stats.real_edges += int(bufs.edge_counts.sum())
+        self.stats.padded_nodes += bufs.spec.total_node_cap
+        self.stats.padded_edges += sum(bufs.spec.edge_caps)
+        if bufs.spec is self.sampler.cfg.tight_spec:
+            self.stats.tight_batches += 1
         return bufs
 
+    def _pool_for(self, bufs: BatchBuffers) -> queue.Queue:
+        return (self._free_tight
+                if bufs.spec is self.sampler.cfg.tight_spec else self._free)
+
     def recycle(self, bufs: BatchBuffers) -> None:
-        self._free.put(bufs)
+        # Release the tight buffer BEFORE its paired big one: a worker only
+        # probes the tight pool while holding a big buffer, so returning
+        # tight-first keeps "free tight ≥ free big" and the worker's
+        # get_nowait can never find the tight pool dry.
+        paired = getattr(bufs, "paired", None)
+        if paired is not None:
+            bufs.paired = None
+        self._pool_for(bufs).put(bufs)
+        if paired is not None:
+            self._free.put(paired)
 
     def close(self):
         self._shutdown.set()

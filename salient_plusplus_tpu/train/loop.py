@@ -33,12 +33,18 @@ from .step import make_eval_step, make_train_step
 def calibrate_spec(native: NativeSampler, seeds_pool: np.ndarray,
                    batch_size: int, fanouts, num_batches: int = 8,
                    safety: float = 1.3, seed: int = 1234,
-                   worst_case_probe: bool = True) -> BatchSpec:
+                   worst_case_probe: bool = True,
+                   tight_quantile: Optional[float] = None):
     """Measure frontier/edge sizes over sample batches → padded bucket.
 
     The static-shape price of XLA (SURVEY.md §7 "hard parts"): capacities
     are set to max-observed × safety, rounded to 128; the sampler counts
     overflow drops so miscalibration is observable, not silent.
+
+    With ``tight_quantile`` set, returns ``(spec, tight)`` where ``tight``
+    is a second, quantile-calibrated bucket (no safety margin — batches
+    that don't fit it simply stay in the big bucket): the 2-bucket padding
+    recovery (SURVEY §7). ``tight`` is None when it would equal ``spec``.
     """
     L = len(fanouts)
     batch_size = min(batch_size, len(seeds_pool)) or batch_size
@@ -68,13 +74,31 @@ def calibrate_spec(native: NativeSampler, seeds_pool: np.ndarray,
         order = np.argsort(-deg[seeds_pool], kind="stable")
         probes.append(np.sort(
             seeds_pool[order[: min(batch_size, len(seeds_pool))]]))
+    ls_all, ec_all = [], []
     for i, seeds in enumerate(probes):
         b = native.sample(probe, seeds, rng_seed=seed + i)
         ls_max = np.maximum(ls_max, b.level_sizes)
         ec_max = np.maximum(
             ec_max, [int(e.count) for e in reversed(b.edges)])
-    return BatchSpec.from_measurements(batch_size, fanouts, ls_max, ec_max,
+        ls_all.append(np.asarray(b.level_sizes, np.int64))
+        ec_all.append(np.asarray([int(e.count) for e in reversed(b.edges)],
+                                 np.int64))
+    spec = BatchSpec.from_measurements(batch_size, fanouts, ls_max, ec_max,
                                        safety=safety)
+    if tight_quantile is None:
+        return spec
+    # quantile over the RANDOM probes only (the adversarial worst-case
+    # probe is an upper bound for the big bucket, not a typical batch)
+    n_rand = num_batches if worst_case_probe else len(ls_all)
+    ls_q = np.quantile(np.stack(ls_all[:n_rand]), tight_quantile, axis=0)
+    ec_q = np.quantile(np.stack(ec_all[:n_rand]), tight_quantile, axis=0)
+    tight = BatchSpec.from_measurements(batch_size, fanouts, ls_q, ec_q,
+                                        safety=1.0)
+    tight = BatchSpec(
+        tight.fanouts, tight.seed_cap,
+        tuple(min(a, b) for a, b in zip(tight.node_caps, spec.node_caps)),
+        tuple(min(a, b) for a, b in zip(tight.edge_caps, spec.edge_caps)))
+    return spec, (tight if tight != spec else None)
 
 
 @dataclass
@@ -105,10 +129,18 @@ class Trainer:
         self.native = NativeSampler(np.asarray(graph.rowptr, np.int64),
                                     np.asarray(graph.col, np.int32))
         train_idx = graph.split_idx["train"]
-        self.train_spec = calibrate_spec(
-            self.native, train_idx, cfg.train_batch_size, cfg.train_fanouts,
-            cfg.calibration_batches, cfg.spec_safety, cfg.seed,
-            worst_case_probe=cfg.calibrate_worst_case)
+        if cfg.spec_buckets > 1:
+            self.train_spec, self.train_tight = calibrate_spec(
+                self.native, train_idx, cfg.train_batch_size,
+                cfg.train_fanouts, cfg.calibration_batches, cfg.spec_safety,
+                cfg.seed, worst_case_probe=cfg.calibrate_worst_case,
+                tight_quantile=cfg.tight_quantile)
+        else:
+            self.train_spec = calibrate_spec(
+                self.native, train_idx, cfg.train_batch_size,
+                cfg.train_fanouts, cfg.calibration_batches, cfg.spec_safety,
+                cfg.seed, worst_case_probe=cfg.calibrate_worst_case)
+            self.train_tight = None
         self.eval_specs: Dict[str, BatchSpec] = {}
 
         # hot/cold feature split (gpu_percent analog, base.py:107-116):
@@ -143,7 +175,8 @@ class Trainer:
                 max_batches_in_flight=cfg.max_batches_in_flight,
                 hot_cutoff=self.hot_cutoff, x_cold=self.x_cold,
                 cold_cap=cold_cap, emit_gsrc=self.global_msg0,
-                compress_dst=self.compress_dst))
+                compress_dst=self.compress_dst,
+                tight_spec=self.train_tight))
         self.shuffler = Shuffler(train_idx, initial_seed=cfg.seed + 2**31 - 1)
 
         # hot features resident in HBM, bf16
@@ -230,7 +263,9 @@ class Trainer:
             "pad_waste_nodes",
             round(it.stats.node_waste(spec.total_node_cap), 4),
             "pad_waste_edges",
-            round(it.stats.edge_waste(sum(spec.edge_caps)), 4))
+            round(it.stats.edge_waste(sum(spec.edge_caps)), 4),
+            "tight_frac",
+            round(it.stats.tight_batches / max(it.stats.batches, 1), 4))
         return mean_loss
 
     def _train_epoch_presampled(self, epoch: int) -> float:
