@@ -90,8 +90,10 @@ def main():
         warm = jax.device_put(
             jax.tree_util.tree_map(np.array, bufs.to_padded_batch()),
             trainer.device)
-        jax.block_until_ready(
-            trainer.train_step(trainer.state, trainer.features, warm)[1])
+        # the step donates the state buffers — keep the returned state
+        trainer.state, wloss = trainer.train_step(
+            trainer.state, trainer.features, warm)
+        jax.block_until_ready(wloss)
 
     it = iter(trainer.train_sampler)
     feeder = DeviceFeeder(it, sharding=trainer.device, depth=4)

@@ -106,6 +106,9 @@ class BatchBuffers:
         self.gsrc = None
         self.ddeg = None
         self.ddeg_offsets = None
+        # tight bucket this batch fits (set per batch by the sampler
+        # worker; consumed by to_padded_batch callers)
+        self.bucket: BatchSpec | None = None
 
     def attach_ddeg(self):
         """Wire-compress dst: ship per-target uint8 degrees instead of the
@@ -230,70 +233,44 @@ class BatchBuffers:
                     + local[pos] - hot_size)
         return self._fill_cold_rows(x_cold, pos, cold_idx)
 
-    def try_repack_from(self, b: "BatchBuffers") -> bool:
-        """Copy a sampled batch from big-spec buffers ``b`` into these
-        (tighter) buffers, if it fits — the 2-bucket padding recovery.
+    def fits(self, spec: BatchSpec) -> bool:
+        """Does the sampled batch fit a (tighter) spec's caps?"""
+        L = self.spec.num_hops
+        ls = self.level_sizes
+        return (all(int(ls[i]) <= spec.node_caps[i] for i in range(L + 1))
+                and all(int(self.edge_counts[h]) <= spec.edge_caps[h]
+                        for h in range(L)))
 
-        Every region is a PREFIX copy: all real data sits at the front of
-        each per-hop slice, and every pad convention survives because the
-        big spec's pad values (its caps) sort/fall strictly AFTER the tight
-        caps used as num_segments on device. Returns False (untouched) if
-        any level or hop exceeds this spec's caps."""
-        s, bs = self.spec, b.spec
-        assert s.fanouts == bs.fanouts and s.seed_cap == bs.seed_cap
-        L = s.num_hops
-        ls = b.level_sizes
-        if any(int(ls[i]) > s.node_caps[i] for i in range(L + 1)):
-            return False
-        if any(int(b.edge_counts[h]) > s.edge_caps[h] for h in range(L)):
-            return False
-        self.n_id[:] = b.n_id[:s.total_node_cap]
-        self.level_sizes[:] = ls
-        self.edge_counts[:] = b.edge_counts
-        self.overflow[:] = b.overflow
-        self.y[:] = b.y
-        self.seed_count = b.seed_count
-        for h in range(L):
-            so, bo = int(self.edge_offsets[h]), int(b.edge_offsets[h])
-            c = int(s.edge_caps[h])
-            self.edge_src[so:so + c] = b.edge_src[bo:bo + c]
-            self.edge_dst[so:so + c] = b.edge_dst[bo:bo + c]
-            if h < L - 1 and self.mirror_src.shape[0]:
-                self.mirror_src[so:so + c] = b.mirror_src[bo:bo + c]
-                self.mirror_dst[so:so + c] = b.mirror_dst[bo:bo + c]
-            if self.ddeg is not None:
-                do, bdo = int(self.ddeg_offsets[h]), int(b.ddeg_offsets[h])
-                n = int(s.node_caps[h])
-                self.ddeg[do:do + n] = b.ddeg[bdo:bdo + n]
-        if self.cold_pos is not None:
-            cnt = int(b.cold_count)
-            self.cold_pos[:] = b.cold_pos
-            self.cold_count = b.cold_count
-            if self.cold_rows is not None:
-                # rows past cold_count are dropped by their pad positions;
-                # stale tails here are never read
-                self.cold_rows[:cnt] = b.cold_rows[:cnt]
-            if self.cold_req is not None:
-                self.cold_req[:] = b.cold_req
-        return True
+    def to_padded_batch(self, bucket: BatchSpec | None = None) -> PaddedBatch:
+        """Zero-copy view as a PaddedBatch (hops reversed to processing
+        order).
 
-    def to_padded_batch(self) -> PaddedBatch:
-        """Zero-copy view as a PaddedBatch (hops reversed to processing order)."""
-        spec = self.spec
+        With ``bucket`` (a tighter spec the batch :meth:`fits` — the
+        2-bucket padding recovery, SURVEY §7): every region is instead a
+        contiguous PREFIX view at the bucket's caps. All real data sits at
+        the front of each per-hop slice, and every pad convention survives
+        because this spec's pad values (its caps) fall strictly AFTER the
+        bucket caps used as num_segments on device — pads still self-drop.
+        No bytes are copied either way; the smaller views shrink H2D and
+        the device program."""
+        spec = bucket or self.spec
+        assert spec is self.spec or (
+            spec.fanouts == self.spec.fanouts
+            and spec.seed_cap == self.spec.seed_cap)
         L = spec.num_hops
-        off = self.edge_offsets
+        off = self.edge_offsets  # the BIG layout's offsets; prefix-sliced
         do = self.ddeg_offsets
         edges = tuple(
             EdgeBlock(
-                src=self.edge_src[off[h]:off[h + 1]],
-                dst=(self.edge_dst[off[h]:off[h + 1]]
+                src=self.edge_src[off[h]:off[h] + spec.edge_caps[h]],
+                dst=(self.edge_dst[off[h]:off[h] + spec.edge_caps[h]]
                      if self.ddeg is None else None),
                 count=self.edge_counts[h],
-                msrc=(self.mirror_src[off[h]:off[h + 1]]
+                msrc=(self.mirror_src[off[h]:off[h] + spec.edge_caps[h]]
                       if h < L - 1 else None),
-                mdst=(self.mirror_dst[off[h]:off[h + 1]]
+                mdst=(self.mirror_dst[off[h]:off[h] + spec.edge_caps[h]]
                       if h < L - 1 else None),
-                ddeg=(self.ddeg[do[h]:do[h + 1]]
+                ddeg=(self.ddeg[do[h]:do[h] + spec.node_caps[h]]
                       if self.ddeg is not None else None),
             )
             for h in reversed(range(L))
@@ -301,7 +278,7 @@ class BatchBuffers:
         # gsrc mode: only the level-(L-1) prefix of the frontier is ever
         # gathered on device (layer 0 reads the global table directly), so
         # the tail never rides H2D
-        n_id = (self.n_id if self.gsrc is None
+        n_id = (self.n_id[:spec.total_node_cap] if self.gsrc is None
                 else self.n_id[:spec.node_caps[L - 1]])
         return PaddedBatch(
             n_id=n_id, level_sizes=self.level_sizes, edges=edges,

@@ -117,8 +117,9 @@ class FastSamplerConfig:
     # ship per-target uint8 degrees instead of int32 dst arrays
     # (EdgeBlock.ddeg; fanouts must be in (0, 127])
     compress_dst: bool = False
-    # second, tighter bucket: batches whose measured sizes fit are
-    # repacked into tight-spec buffers (less padding on device + wire)
+    # second, tighter bucket: batches whose measured sizes fit it are
+    # shipped as tight prefix VIEWS (zero-copy; less padding on device +
+    # wire). Consumers pass bufs.bucket to to_padded_batch.
     tight_spec: Optional[BatchSpec] = None
 
 
@@ -147,12 +148,10 @@ class FastSamplerIter:
         self._free: queue.Queue = queue.Queue()
         self._work: queue.Queue = queue.Queue()
         self._shutdown = threading.Event()
-        self._free_tight: queue.Queue = queue.Queue()
         pool = min(cfg.max_batches_in_flight + cfg.num_workers,
                    max(2, self.num_batches + 1))
-
-        def make_bufs(spec):
-            bufs = BatchBuffers(spec)
+        for _ in range(max(pool, 1)):
+            bufs = BatchBuffers(cfg.spec)
             if cfg.cold_owner_mode:
                 bufs.attach_cold_requests(cfg.cold_world, cfg.cold_r_cap)
             elif cfg.hot_cutoff is not None or cfg.cold_part_size is not None:
@@ -162,12 +161,7 @@ class FastSamplerIter:
                 bufs.attach_gsrc()
             if cfg.compress_dst:
                 bufs.attach_ddeg()
-            return bufs
-
-        for _ in range(max(pool, 1)):
-            self._free.put(make_bufs(cfg.spec))
-            if cfg.tight_spec is not None:
-                self._free_tight.put(make_bufs(cfg.tight_spec))
+            self._free.put(bufs)
         for bno, seeds in enumerate(self.batches):
             self._work.put(bno)
         self._threads = []
@@ -212,21 +206,14 @@ class FastSamplerIter:
                     bufs.fill_ddeg()
                 if cfg.emit_gsrc:
                     bufs.fill_gsrc()
-                if cfg.tight_spec is not None:
-                    # Deterministic bucket choice: repack IFF the batch fits
-                    # the tight caps. The tight pool can never run dry here:
-                    # a tight buffer is only ever checked out *paired* with
-                    # a big one (released together on recycle), and the
-                    # pools are the same size, so holding a big buffer
-                    # guarantees a free tight one.
-                    tb = self._free_tight.get_nowait()
-                    if tb.try_repack_from(bufs):
-                        tb.paired = bufs  # big buf rides along until recycle
-                        bufs = tb
-                    else:
-                        self._free_tight.put(tb)
+                # 2-bucket padding recovery: mark the batch for tight-spec
+                # prefix VIEWS (to_padded_batch(bucket)) iff it fits. A pure
+                # function of the batch's measured sizes — bucket choice is
+                # deterministic. Reset stale marks from recycled buffers.
+                bufs.bucket = (cfg.tight_spec if cfg.tight_spec is not None
+                               and bufs.fits(cfg.tight_spec) else None)
             except BaseException as e:  # surface in the consumer, don't hang
-                self.recycle(bufs)  # keep pools at capacity
+                self.recycle(bufs)  # keep the pool at full capacity
                 self._out.put((bno, e))
                 return
             self.stats.sample_time += time.perf_counter() - t0
@@ -263,27 +250,15 @@ class FastSamplerIter:
         self.stats.dropped_edges += int(bufs.overflow[1])
         self.stats.real_nodes += int(bufs.level_sizes[-1])
         self.stats.real_edges += int(bufs.edge_counts.sum())
-        self.stats.padded_nodes += bufs.spec.total_node_cap
-        self.stats.padded_edges += sum(bufs.spec.edge_caps)
-        if bufs.spec is self.sampler.cfg.tight_spec:
+        eff = bufs.bucket or bufs.spec
+        self.stats.padded_nodes += eff.total_node_cap
+        self.stats.padded_edges += sum(eff.edge_caps)
+        if bufs.bucket is not None:
             self.stats.tight_batches += 1
         return bufs
 
-    def _pool_for(self, bufs: BatchBuffers) -> queue.Queue:
-        return (self._free_tight
-                if bufs.spec is self.sampler.cfg.tight_spec else self._free)
-
     def recycle(self, bufs: BatchBuffers) -> None:
-        # Release the tight buffer BEFORE its paired big one: a worker only
-        # probes the tight pool while holding a big buffer, so returning
-        # tight-first keeps "free tight ≥ free big" and the worker's
-        # get_nowait can never find the tight pool dry.
-        paired = getattr(bufs, "paired", None)
-        if paired is not None:
-            bufs.paired = None
-        self._pool_for(bufs).put(bufs)
-        if paired is not None:
-            self._free.put(paired)
+        self._free.put(bufs)
 
     def close(self):
         self._shutdown.set()

@@ -173,10 +173,23 @@ class DistributedTrainer:
             max_stream = -(-len(pool) // self.world)
         seed_cap = max(cfg.train_batch_size,
                        -(-max_stream // self.iters_per_epoch))
-        self.train_spec = calibrate_spec(
-            self.native, pool, seed_cap, cfg.train_fanouts,
-            cfg.calibration_batches, cfg.spec_safety, cfg.seed,
-            worst_case_probe=cfg.calibrate_worst_case)
+        # 2-bucket padding recovery (single-process only: every process
+        # must run the same XLA program each step, and the bucket choice
+        # depends on batch content only this process can see — a cross-
+        # process agreement round-trip would cost more than the padding)
+        use_tight = cfg.spec_buckets > 1 and jax.process_count() == 1
+        if use_tight:
+            self.train_spec, self.train_tight = calibrate_spec(
+                self.native, pool, seed_cap, cfg.train_fanouts,
+                cfg.calibration_batches, cfg.spec_safety, cfg.seed,
+                worst_case_probe=cfg.calibrate_worst_case,
+                tight_quantile=cfg.tight_quantile)
+        else:
+            self.train_spec = calibrate_spec(
+                self.native, pool, seed_cap, cfg.train_fanouts,
+                cfg.calibration_batches, cfg.spec_safety, cfg.seed,
+                worst_case_probe=cfg.calibrate_worst_case)
+            self.train_tight = None
         self.r_cap = self._calibrate_r_cap()
         self._owner_cold = (self.hot_size is not None
                             and cfg.cold_mode == "owner")
@@ -206,7 +219,8 @@ class DistributedTrainer:
                     cold_hot_size=self.hot_size,
                     cold_owner_mode=self._owner_cold,
                     cold_world=self.world,
-                    cold_r_cap=self.cold_r_cap))
+                    cold_r_cap=self.cold_r_cap,
+                    tight_spec=self.train_tight))
             for d in self.local_ranks
         ]
 
@@ -516,8 +530,14 @@ class DistributedTrainer:
                 bufs = [next(it) for it in its]
                 t1 = time.perf_counter()
                 sample_wait += t1 - t0
+                # one SPMD program per step: the tight bucket applies only
+                # when EVERY rank's batch fits it (all-or-nothing)
+                bucket = (self.train_tight
+                          if self.train_tight is not None
+                          and all(b.bucket is not None for b in bufs)
+                          else None)
                 stacked = stack_batches(
-                    [b.to_padded_batch() for b in bufs])
+                    [b.to_padded_batch(bucket) for b in bufs])
                 stacked = jax.tree_util.tree_map(np.array, stacked)
                 cold_reqs = ([b.cold_req.copy() for b in bufs]
                              if self._owner_cold else None)

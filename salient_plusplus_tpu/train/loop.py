@@ -141,7 +141,8 @@ class Trainer:
                 cfg.train_fanouts, cfg.calibration_batches, cfg.spec_safety,
                 cfg.seed, worst_case_probe=cfg.calibrate_worst_case)
             self.train_tight = None
-        self.eval_specs: Dict[str, BatchSpec] = {}
+        # (split, fanouts) -> (spec, tight-or-None)
+        self.eval_specs: Dict[tuple, tuple] = {}
 
         # hot/cold feature split (gpu_percent analog, base.py:107-116):
         # the hot prefix lives in HBM; the cold tail stays in host RAM and
@@ -295,12 +296,16 @@ class Trainer:
                    else cfg.batchwise_test_fanouts)
         key = (split, tuple(fanouts))
         if key not in self.eval_specs:
-            self.eval_specs[key] = calibrate_spec(
+            out = calibrate_spec(
                 self.native, self.graph.split_idx[split],
                 cfg.test_batch_size, fanouts,
                 cfg.calibration_batches, cfg.spec_safety, cfg.seed + 99,
-                worst_case_probe=cfg.calibrate_worst_case)
-        spec = self.eval_specs[key]
+                worst_case_probe=cfg.calibrate_worst_case,
+                tight_quantile=(cfg.tight_quantile
+                                if cfg.spec_buckets > 1 else None))
+            self.eval_specs[key] = out if isinstance(out, tuple) \
+                else (out, None)
+        spec, tight = self.eval_specs[key]
         cold_cap = (self._calibrate_cold_cap(self.graph.split_idx[split],
                                              spec)
                     if self.hot_cutoff is not None else 0)
@@ -319,7 +324,8 @@ class Trainer:
                 max_batches_in_flight=cfg.max_batches_in_flight,
                 hot_cutoff=self.hot_cutoff, x_cold=self.x_cold,
                 cold_cap=cold_cap, emit_gsrc=self.global_msg0,
-                compress_dst=all(0 < f <= 127 for f in fanouts)),
+                compress_dst=all(0 < f <= 127 for f in fanouts),
+                tight_spec=tight),
             idx=eval_idx)
 
     def evaluate(self, split: str) -> float:
@@ -330,11 +336,13 @@ class Trainer:
         # degree/VIP-correlated batches the shuffle exists to avoid.
         it = iter(sampler)
         feeder = DeviceFeeder(it, sharding=self.device, depth=2)
-        correct = total = 0
+        acc = []  # device scalars; ONE D2H per split (a per-batch int()
+        #           read is a ~100ms network round-trip on remote TPUs)
         for batch in feeder:
-            c, t = self.eval_step(self.state, self.features, batch)
-            correct += int(c)
-            total += int(t)
+            acc.append(self.eval_step(self.state, self.features, batch))
+        pairs = jax.device_get(acc)
+        correct = sum(int(c) for c, _ in pairs)
+        total = sum(int(t) for _, t in pairs)
         if it.stats.dropped_nodes or it.stats.dropped_edges:
             self.logger.log("EVAL_SAMPLER_OVERFLOW", split,
                             it.stats.dropped_nodes, it.stats.dropped_edges)

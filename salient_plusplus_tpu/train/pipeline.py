@@ -62,7 +62,7 @@ class DeviceFeeder:
     def _put(self, bufs: BatchBuffers):
         self.edges_fed += int(bufs.edge_counts.sum())
         self.seeds_fed += int(bufs.seed_count)
-        host_batch = bufs.to_padded_batch()
+        host_batch = bufs.to_padded_batch(bufs.bucket)
         if self._needs_copy:
             import numpy as _np
 
