@@ -60,6 +60,8 @@ def main():
                                                RunConfig.calibration_batches)),
         spec_safety=float(os.environ.get("BENCH_SAFETY",
                                          RunConfig.spec_safety)),
+        spec_buckets=int(os.environ.get("BENCH_BUCKETS",
+                                        RunConfig.spec_buckets)),
     )
     trainer = Trainer(cfg, g)
 

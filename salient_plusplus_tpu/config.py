@@ -82,8 +82,9 @@ class RunConfig:
     #                                   tight bucket (quantile of probes)
     calibrate_worst_case: bool = True  # include a top-degree probe batch
     # static-shape padding recovery: with 2 buckets, batches that fit a
-    # quantile-calibrated TIGHT spec are repacked into it (one extra XLA
-    # program; typical batches stop paying the worst-case row padding).
+    # quantile-calibrated TIGHT spec ship as zero-copy prefix views of it
+    # (one extra XLA program; typical batches stop paying the worst-case
+    # row padding).
     # Measured on the bench shape (_scratch/quantile_sweep.py): at the
     # production caps (safety 1.3 + worst-case probe) padding waste drops
     # 45-50% → 4.5-5.6% with 96% of batches in the tight bucket.

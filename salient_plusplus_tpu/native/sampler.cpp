@@ -56,11 +56,20 @@ struct Rng {
 // Open-addressing int32->int32 hash map with generation stamping: clearing
 // between batches is O(1) (bump the generation) instead of a memset.
 // Replaces the reference's phmap::flat_hash_map relabel table
-// (sample_cpu.hpp:13-19) without vendoring the library.
+// (sample_cpu.hpp:13-19) without vendoring the library. Slots are
+// interleaved (key/val/stamp in one 16-byte record, 4 per cache line) so
+// a probe costs ONE cache miss, not three — at frontier sizes the table
+// far exceeds L2 and every probe is a miss, making this the sampler's
+// dominant cost alongside the CSR column reads (see sptpu_sample_batch's
+// prefetch pipeline).
 struct Workspace {
-  std::vector<int32_t> keys;
-  std::vector<int32_t> vals;
-  std::vector<uint32_t> stamp;
+  struct Slot {
+    int32_t key;
+    int32_t val;
+    uint32_t stamp;
+    uint32_t pad_;
+  };
+  std::vector<Slot> slots;
   uint32_t gen = 0;
   uint32_t mask = 0;
   uint32_t filled = 0;    // entries stamped this generation
@@ -70,22 +79,20 @@ struct Workspace {
   void reserve(int64_t max_entries) {
     uint64_t cap = 64;
     while (cap < (uint64_t)max_entries * 2) cap <<= 1;
-    if (keys.size() < cap) {
-      keys.assign(cap, 0);
-      vals.assign(cap, 0);
-      stamp.assign(cap, 0);
+    if (slots.size() < cap) {
+      slots.assign(cap, Slot{0, 0, 0u, 0u});
       gen = 0;
     }
-    mask = (uint32_t)(keys.size() - 1);
+    mask = (uint32_t)(slots.size() - 1);
     // Dropped (over-cap) nodes also occupy slots; bound total occupancy so
     // linear probing always terminates even when the graph has far more
     // distinct reachable nodes than the batch's node capacity.
-    fill_cap = (uint32_t)(keys.size() - (keys.size() >> 2));  // 75%
+    fill_cap = (uint32_t)(slots.size() - (slots.size() >> 2));  // 75%
   }
   inline void clear() {
     filled = 0;
     if (++gen == 0) {  // stamp wrap: full reset once per 2^32 batches
-      std::fill(stamp.begin(), stamp.end(), 0u);
+      for (auto& s : slots) s.stamp = 0u;
       gen = 1;
     }
   }
@@ -94,6 +101,9 @@ struct Workspace {
     h ^= h >> 15;
     return h;
   }
+  inline void prefetch(int32_t key) const {
+    __builtin_prefetch(&slots[hash(key) & mask], 1 /*write*/, 1);
+  }
   // Insert key if absent; returns (value, inserted). `next_val` used on
   // insert. When the table is at the occupancy bound, absent keys are
   // reported as dropped (value -1, not inserted) — only reachable when the
@@ -101,21 +111,22 @@ struct Workspace {
   inline int32_t get_or_insert(int32_t key, int32_t next_val, bool* inserted) {
     uint32_t i = hash(key) & mask;
     while (true) {
-      if (stamp[i] != gen) {
+      Slot& s = slots[i];
+      if (s.stamp != gen) {
         if (filled >= fill_cap) {
           *inserted = false;
           return -1;
         }
         ++filled;
-        stamp[i] = gen;
-        keys[i] = key;
-        vals[i] = next_val;
+        s.stamp = gen;
+        s.key = key;
+        s.val = next_val;
         *inserted = true;
         return next_val;
       }
-      if (keys[i] == key) {
+      if (s.key == key) {
         *inserted = false;
-        return vals[i];
+        return s.val;
       }
       i = (i + 1) & mask;
     }
@@ -170,6 +181,25 @@ int32_t sptpu_sample_batch(
   out_level_sizes[0] = n;
   int32_t dropped_nodes = 0, dropped_edges = 0;
 
+  // Software-pipelined edge processing. Sampling is pointer-chasing over
+  // two tables that both miss cache at scale (the CSR column array and the
+  // relabel hash table), so each edge's lookups are staged through a FIFO
+  // ring: col addresses are prefetched at push, the column value is read
+  // (and its hash slot prefetched) MID edges later, and the relabel+emit
+  // happens at pop, RING edges after push. The FIFO preserves the exact
+  // edge order (and RNG draw order happens at push), so results are
+  // bit-identical to the unpipelined loop — the numpy-oracle tests pin
+  // this. ~2x on the bench shape (51 -> 26 ns/edge single-thread).
+  constexpr int32_t RING = 64;  // insert distance (edges)
+  constexpr int32_t MID = 32;   // col-read + hash-prefetch distance
+  struct Pending {
+    int32_t tgt;
+    int32_t cval;
+    const int32_t* addr;
+  };
+  Pending ring[RING];
+  int64_t rhead = 0, rmid = 0, rtail = 0;
+
   for (int32_t h = 0; h < num_hops; ++h) {
     const int32_t fanout = fanouts[h];
     const int32_t frontier = n;
@@ -200,13 +230,39 @@ int32_t sptpu_sample_batch(
       ++e;
     };
 
+    const auto do_mid = [&]() {
+      Pending& p = ring[rmid & (RING - 1)];
+      p.cval = *p.addr;
+      ws.prefetch(p.cval);
+      ++rmid;
+    };
+    const auto do_pop = [&]() {
+      Pending& p = ring[rhead & (RING - 1)];
+      add_neighbor(p.tgt, p.cval);
+      ++rhead;
+    };
+    const auto push = [&](int32_t tgt, const int32_t* addr) {
+      if (rtail - rhead == RING) {
+        if (rmid == rhead) do_mid();
+        do_pop();
+      }
+      Pending& p = ring[rtail & (RING - 1)];
+      p.tgt = tgt;
+      p.addr = addr;
+      __builtin_prefetch(addr, 0, 1);
+      ++rtail;
+      if (rtail - rmid > MID) do_mid();
+    };
+
     for (int32_t i = 0; i < frontier; ++i) {
+      if (i + 8 < frontier)
+        __builtin_prefetch(&rowptr[out_n_id[i + 8]], 0, 1);
       const int32_t u = out_n_id[i];
       const int64_t row_start = rowptr[u];
       const int32_t deg = (int32_t)(rowptr[u + 1] - row_start);
       if (deg <= 0) continue;
       if (fanout < 0 || deg <= fanout) {
-        for (int32_t p = 0; p < deg; ++p) add_neighbor(i, col[row_start + p]);
+        for (int32_t p = 0; p < deg; ++p) push(i, &col[row_start + p]);
       } else {
         // Robert Floyd sampling without replacement: k distinct of [0, deg)
         auto& perm = ws.floyd;
@@ -221,10 +277,14 @@ int32_t sptpu_sample_batch(
             perm.push_back(j);
             winner = j;
           }
-          add_neighbor(i, col[row_start + winner]);
+          push(i, &col[row_start + winner]);
         }
       }
     }
+    // drain the pipeline before this hop's pad fill: later hops must see
+    // the complete frontier, and edge blocks may not cross hop boundaries
+    while (rmid < rtail) do_mid();
+    while (rhead < rtail) do_pop();
     // pad the tail of this hop's edge block: src→0, dst→out-level cap.
     // The dst pad keeps the (target-grouped) dst array globally
     // nondecreasing and self-dropping in segment reductions
