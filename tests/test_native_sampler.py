@@ -89,6 +89,41 @@ def test_native_overflow_counted(small_graph):
     assert int(b.overflow.sum()) > 0
 
 
+def test_native_overflow_deterministic_and_valid(small_graph):
+    """Under cap overflow the drop DECISIONS ride the sampler's edge
+    pipeline — they must stay deterministic (same seed → identical
+    buffers, including which edges/nodes were dropped) and every kept
+    edge must still reference an in-cap node with valid pads."""
+    g = small_graph
+    seeds = g.split_idx["train"][:64]
+    spec = BatchSpec((8, 8), 64, (64, 200, 400), (256, 512))
+    ns = NativeSampler(g.rowptr, g.col)
+    b1 = ns.sample(spec, seeds, rng_seed=77)
+    b2 = ns.sample(spec, seeds, rng_seed=77)
+    assert int(b1.overflow.sum()) > 0
+    np.testing.assert_array_equal(b1.n_id, b2.n_id)
+    np.testing.assert_array_equal(b1.overflow, b2.overflow)
+    for e1, e2 in zip(b1.edges, b2.edges):
+        assert int(e1.count) == int(e2.count)
+        np.testing.assert_array_equal(e1.src, e2.src)
+        np.testing.assert_array_equal(e1.dst, e2.dst)
+    # structural validity of the kept subgraph: every edge's endpoints are
+    # real in-cap frontier slots, and pad slots carry the conventions
+    L = spec.num_hops
+    for h in range(L):
+        eb = b1.edges[L - 1 - h]  # back to sampling order
+        c = int(eb.count)
+        n_out = int(b1.level_sizes[h])
+        n_in = int(b1.level_sizes[h + 1])
+        assert np.all(eb.dst[:c] < n_out) and np.all(eb.src[:c] < n_in)
+        assert np.all(eb.dst[c:] == spec.node_caps[h])  # pad convention
+        assert not eb.src[c:].any()
+        # kept edges exist in the graph
+        for d, sr in zip(eb.dst[:50], eb.src[:50]):
+            u, v = int(b1.n_id[d]), int(b1.n_id[sr])
+            assert v in g.col[g.rowptr[u]:g.rowptr[u + 1]]
+
+
 def test_sampling_distribution_uniform(small_graph):
     """Each neighbor of a high-degree node should be sampled ~uniformly."""
     g = small_graph
