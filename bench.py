@@ -82,6 +82,9 @@ def main():
             bufs.attach_ddeg()
         if trainer.global_msg0:
             bufs.attach_gsrc()
+        if trainer.pack_wire:
+            bufs.attach_pack(trainer.train_sampler.pack_src_maxval(),
+                             node_caps=trainer.train_spec.node_caps)
         trainer.native.sample_into(
             bufs, np.sort(idx[: spec.seed_cap]), rng_seed=1,
             y_global=np.asarray(g.y, np.int32))
@@ -89,6 +92,8 @@ def main():
             bufs.fill_ddeg()
         if trainer.global_msg0:
             bufs.fill_gsrc()
+        if trainer.pack_wire:
+            bufs.fill_pack()
         warm = jax.device_put(
             jax.tree_util.tree_map(np.array, bufs.to_padded_batch()),
             trainer.device)

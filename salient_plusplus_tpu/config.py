@@ -92,6 +92,10 @@ class RunConfig:
     tight_quantile: float = 1.0       # probe quantile for the tight bucket
     #   (1.0 = max over the random probes, no safety margin — dominates
     #    lower quantiles: higher fit rate outweighs slightly looser caps)
+    # wire-pack int32 index arrays to 2-3 bytes/element on the host→device
+    # path (sampling/batch.py EdgeBlock packed fields); auto-disabled when
+    # shipped ids can reach 2^24 (e.g. gsrc mode on >16M-node graphs)
+    pack_wire: bool = True
 
     # --- precision ---
     param_dtype: str = "float32"

@@ -26,7 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..sampling.batch import PaddedBatch
 from ..train.state import TrainState
-from ..train.step import masked_nll
+from ..train.step import decode_batch, masked_nll
 from ..ops.segment import valid_mask
 from .exchange import DeviceCache, assemble_features
 from .mesh import DATA_AXIS
@@ -79,7 +79,7 @@ def make_spmd_train_step(mesh: Mesh, feature_mode: str = "replicated",
     cache_spec = P(axis_name)
 
     def step(state: TrainState, features, batch, part_offsets, cache):
-        b = _unstack(batch)
+        b = decode_batch(_unstack(batch))
         dev_cache = (DeviceCache(cache.vertices[0], cache.features[0])
                      if cache is not None else None)
         key = jax.random.fold_in(state.dropout_key, state.step)
@@ -126,7 +126,7 @@ def make_spmd_eval_step(mesh: Mesh, feature_mode: str = "replicated",
     cache_spec = P(axis_name)
 
     def step(state: TrainState, features, batch, part_offsets, cache):
-        b = _unstack(batch)
+        b = decode_batch(_unstack(batch))
         dev_cache = (DeviceCache(cache.vertices[0], cache.features[0])
                      if cache is not None else None)
         x, _ = _lookup_features(features, b, feature_mode, part_offsets,

@@ -91,6 +91,15 @@ class BatchSpec:
         return cls(tuple(fanouts), batch_size, tuple(node_caps), tuple(edge_caps))
 
 
+def _unpack24(lo, hi):
+    import jax.numpy as jnp
+
+    v = lo.astype(jnp.int32)
+    if hi is not None:
+        v = v | (hi.astype(jnp.int32) << 16)
+    return v
+
+
 class EdgeBlock(struct.PyTreeNode):
     """One hop's padded bipartite COO, target-grouped (dst nondecreasing,
     pads = out-level cap). ``msrc/mdst`` is the src-sorted mirror of the
@@ -109,19 +118,46 @@ class EdgeBlock(struct.PyTreeNode):
     # reconstructed on device by one searchsorted over cumsum(ddeg) —
     # whose out-of-range result is exactly the pad convention (== out_cap)
     ddeg: "np.ndarray" = None
+    # wire-packed index arrays (BatchBuffers.fill_pack): each int32 index
+    # array ships as its low uint16 halves plus, only when the hop's value
+    # range needs bits 16..23, a uint8 of the third byte (ids are < 2^24).
+    # The matching int32 field ships as None and is rebuilt on device by
+    # ``lo | hi << 16`` — a fused cast, ~free next to the H2D bytes saved
+    # (int32 indices are ~75% of batch H2D once dst rides ddeg).
+    src_lo: "np.ndarray" = None    # uint16 [E_cap]
+    src_hi: "np.ndarray" = None    # uint8 [E_cap] or None (values < 2^16)
+    msrc_lo: "np.ndarray" = None
+    msrc_hi: "np.ndarray" = None
+    mdst_lo: "np.ndarray" = None
+    mdst_hi: "np.ndarray" = None
+
+    @property
+    def cap(self) -> int:
+        a = self.src if self.src is not None else self.src_lo
+        return a.shape[0]
 
     def decoded(self, E_cap: int):
-        """Materialize dst from ddeg (device-side, one searchsorted)."""
-        if self.ddeg is None:
-            return self
+        """Materialize wire-compressed fields (device-side)."""
+        out = self
+        if out.src_lo is not None:
+            out = out.replace(
+                src=_unpack24(out.src_lo, out.src_hi),
+                msrc=(_unpack24(out.msrc_lo, out.msrc_hi)
+                      if out.msrc_lo is not None else out.msrc),
+                mdst=(_unpack24(out.mdst_lo, out.mdst_hi)
+                      if out.mdst_lo is not None else out.mdst),
+                src_lo=None, src_hi=None, msrc_lo=None, msrc_hi=None,
+                mdst_lo=None, mdst_hi=None)
+        if out.ddeg is None:
+            return out
         import jax
         import jax.numpy as jnp
 
-        bounds = jnp.cumsum(self.ddeg.astype(jnp.int32))
+        bounds = jnp.cumsum(out.ddeg.astype(jnp.int32))
         e_iota = jax.lax.broadcasted_iota(jnp.int32, (E_cap,), 0)
         dst = jnp.searchsorted(bounds, e_iota, side="right"
                                ).astype(jnp.int32)
-        return self.replace(dst=dst, ddeg=None)
+        return out.replace(dst=dst, ddeg=None)
 
 
 class PaddedBatch(struct.PyTreeNode):

@@ -106,6 +106,12 @@ class BatchBuffers:
         self.gsrc = None
         self.ddeg = None
         self.ddeg_offsets = None
+        self.src_lo = None
+        self.src_hi = None
+        self.msrc_lo = None
+        self.msrc_hi = None
+        self.mdst_lo = None
+        self.mdst_hi = None
         # tight bucket this batch fits (set per batch by the sampler
         # worker; consumed by to_padded_batch callers)
         self.bucket: BatchSpec | None = None
@@ -149,6 +155,67 @@ class BatchBuffers:
         get_lib().sptpu_take_i32_inplace(
             _ptr(self.n_id, _c_i32p),
             _ptr(self.edge_src[off:], _c_i32p), ctypes.c_int64(cap))
+
+    def attach_pack(self, src_maxval: tuple, node_caps: tuple = None):
+        """Wire-pack the int32 index arrays: ship low uint16 halves plus a
+        uint8 third byte only for hops whose value range reaches bits
+        16..23 (``src_maxval[h]`` = exclusive bound of hop h's src values —
+        the grown-frontier cap, or num_nodes for a gsrc hop). All values
+        must be < 2^24; callers gate on that (papers100M-scale global ids
+        keep int32). Cuts int32 index H2D 2x (16-bit hops) / 1.33x.
+
+        ``node_caps`` bounds the mirrors' frontier-local values; it must be
+        the caps of the spec whose 2-bucket programs these buffers feed
+        (tight-bucket warm-up buffers pass the BIG spec's caps so the uint8
+        field presence — part of the compiled treedef — matches worker
+        buffers, which are always big-spec sized)."""
+        spec = self.spec
+        L = spec.num_hops
+        node_caps = tuple(node_caps or spec.node_caps)
+        assert all(v <= 2**24 for v in src_maxval), src_maxval
+        total_e = int(self.edge_offsets[-1])
+        self.src_lo = np.zeros(total_e, np.uint16)
+        self.src_hi = [
+            (np.zeros(spec.edge_caps[h], np.uint8)
+             if src_maxval[h] > 2**16 else None)
+            for h in range(L)
+        ]
+        mir_len = int(self.mirror_src.shape[0])
+        self.msrc_lo = np.zeros(mir_len, np.uint16)
+        self.mdst_lo = np.zeros(mir_len, np.uint16)
+        # mirror values are frontier-local: msrc < node_caps[h+1],
+        # mdst < node_caps[h] (mirrors exist for hops 0..L-2 only)
+        self.msrc_hi = [
+            (np.zeros(spec.edge_caps[h], np.uint8)
+             if node_caps[h + 1] > 2**16 else None)
+            for h in range(L - 1)
+        ]
+        self.mdst_hi = [
+            (np.zeros(spec.edge_caps[h], np.uint8)
+             if node_caps[h] > 2**16 else None)
+            for h in range(L - 1)
+        ]
+
+    @staticmethod
+    def _pack_one(flat_i32, lo, his, edge_offsets):
+        # little-endian int32 → halves via strided views (no temporaries)
+        u16 = flat_i32.view(np.uint16)
+        n = lo.shape[0]
+        lo[:] = u16[0 : 2 * n : 2]
+        u8 = flat_i32.view(np.uint8)
+        for h, hi in enumerate(his):
+            if hi is not None:
+                o = int(edge_offsets[h])
+                hi[:] = u8[o * 4 + 2 : (o + hi.shape[0]) * 4 : 4]
+
+    def fill_pack(self):
+        self._pack_one(self.edge_src, self.src_lo, self.src_hi,
+                       self.edge_offsets)
+        if self.msrc_lo.shape[0]:
+            self._pack_one(self.mirror_src, self.msrc_lo, self.msrc_hi,
+                           self.edge_offsets)
+            self._pack_one(self.mirror_dst, self.mdst_lo, self.mdst_hi,
+                           self.edge_offsets)
 
     def attach_cold(self, cold_cap: int, num_features: int, dtype):
         self.cold_rows = np.zeros((cold_cap, num_features), dtype)
@@ -260,18 +327,35 @@ class BatchBuffers:
         L = spec.num_hops
         off = self.edge_offsets  # the BIG layout's offsets; prefix-sliced
         do = self.ddeg_offsets
+        packed = self.src_lo is not None
+
+        def sl(a, h):
+            return a[off[h]:off[h] + spec.edge_caps[h]]
+
+        def hi(parts, h):
+            p = parts[h] if parts is not None and h < len(parts) else None
+            return p[: spec.edge_caps[h]] if p is not None else None
+
         edges = tuple(
             EdgeBlock(
-                src=self.edge_src[off[h]:off[h] + spec.edge_caps[h]],
-                dst=(self.edge_dst[off[h]:off[h] + spec.edge_caps[h]]
+                src=None if packed else sl(self.edge_src, h),
+                dst=(sl(self.edge_dst, h)
                      if self.ddeg is None else None),
                 count=self.edge_counts[h],
-                msrc=(self.mirror_src[off[h]:off[h] + spec.edge_caps[h]]
-                      if h < L - 1 else None),
-                mdst=(self.mirror_dst[off[h]:off[h] + spec.edge_caps[h]]
-                      if h < L - 1 else None),
+                msrc=(sl(self.mirror_src, h)
+                      if h < L - 1 and not packed else None),
+                mdst=(sl(self.mirror_dst, h)
+                      if h < L - 1 and not packed else None),
                 ddeg=(self.ddeg[do[h]:do[h] + spec.node_caps[h]]
                       if self.ddeg is not None else None),
+                src_lo=sl(self.src_lo, h) if packed else None,
+                src_hi=hi(self.src_hi, h) if packed else None,
+                msrc_lo=(sl(self.msrc_lo, h)
+                         if packed and h < L - 1 else None),
+                msrc_hi=hi(self.msrc_hi, h) if packed and h < L - 1 else None,
+                mdst_lo=(sl(self.mdst_lo, h)
+                         if packed and h < L - 1 else None),
+                mdst_hi=hi(self.mdst_hi, h) if packed and h < L - 1 else None,
             )
             for h in reversed(range(L))
         )

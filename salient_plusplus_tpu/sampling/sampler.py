@@ -117,6 +117,10 @@ class FastSamplerConfig:
     # ship per-target uint8 degrees instead of int32 dst arrays
     # (EdgeBlock.ddeg; fanouts must be in (0, 127])
     compress_dst: bool = False
+    # wire-pack int32 index arrays to uint16(+uint8) halves; requires every
+    # shipped id < 2^24 (with emit_gsrc the outer hop carries GLOBAL ids,
+    # so callers gate on num_nodes)
+    pack_wire: bool = False
     # second, tighter bucket: batches whose measured sizes fit it are
     # shipped as tight prefix VIEWS (zero-copy; less padding on device +
     # wire). Consumers pass bufs.bucket to to_padded_batch.
@@ -161,6 +165,8 @@ class FastSamplerIter:
                 bufs.attach_gsrc()
             if cfg.compress_dst:
                 bufs.attach_ddeg()
+            if cfg.pack_wire:
+                bufs.attach_pack(self.sampler.pack_src_maxval())
             self._free.put(bufs)
         for bno, seeds in enumerate(self.batches):
             self._work.put(bno)
@@ -206,6 +212,8 @@ class FastSamplerIter:
                     bufs.fill_ddeg()
                 if cfg.emit_gsrc:
                     bufs.fill_gsrc()
+                if cfg.pack_wire:
+                    bufs.fill_pack()
                 # 2-bucket padding recovery: mark the batch for tight-spec
                 # prefix VIEWS (to_padded_batch(bucket)) iff it fits. A pure
                 # function of the batch's measured sizes — bucket choice is
@@ -306,6 +314,8 @@ class FastPreSampler:
                 bufs.attach_gsrc()
             if cfg.compress_dst:
                 bufs.attach_ddeg()
+            if cfg.pack_wire:
+                bufs.attach_pack(self.sampler.pack_src_maxval())
             self.sampler.native.sample_into(
                 bufs, batches[bno],
                 rng_seed=batch_seed(cfg.base_seed, epoch, bno),
@@ -322,6 +332,8 @@ class FastPreSampler:
                 bufs.fill_ddeg()
             if cfg.emit_gsrc:
                 bufs.fill_gsrc()
+            if cfg.pack_wire:
+                bufs.fill_pack()
             return bno, bufs
 
         with cf.ThreadPoolExecutor(max(1, cfg.num_workers)) as ex:
@@ -348,6 +360,16 @@ class FastSampler:
 
     def get_epoch_idx(self, epoch: int) -> np.ndarray:
         return self.idx
+
+    def pack_src_maxval(self):
+        """Per-hop exclusive bound of edge-src values (attach_pack): the
+        grown-frontier cap, or num_nodes for the gsrc (global-id) hop."""
+        spec = self.cfg.spec
+        L = spec.num_hops
+        V = self.native.rowptr.shape[0] - 1
+        return tuple(
+            V if (self.cfg.emit_gsrc and h == L - 1) else spec.node_caps[h + 1]
+            for h in range(L))
 
     def set_epoch(self, idx: np.ndarray, epoch: int):
         self.idx = idx

@@ -220,6 +220,10 @@ class DistributedTrainer:
                     cold_owner_mode=self._owner_cold,
                     cold_world=self.world,
                     cold_r_cap=self.cold_r_cap,
+                    compress_dst=all(0 < f <= 127
+                                     for f in cfg.train_fanouts),
+                    pack_wire=(cfg.pack_wire and
+                               self.train_spec.total_node_cap < 2**24),
                     tight_spec=self.train_tight))
             for d in self.local_ranks
         ]
@@ -643,7 +647,10 @@ class DistributedTrainer:
                     cold_hot_size=self.hot_size,
                     cold_owner_mode=self._owner_cold,
                     cold_world=self.world,
-                    cold_r_cap=e_cold_rcap),
+                    cold_r_cap=e_cold_rcap,
+                    compress_dst=all(0 < f <= 127 for f in fanouts),
+                    pack_wire=(cfg.pack_wire and
+                               spec.total_node_cap < 2**24)),
                 idx=idx)
             its.append(iter(s))
         acc = []  # device scalars; one D2H per split, not per batch

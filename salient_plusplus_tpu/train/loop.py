@@ -167,6 +167,11 @@ class Trainer:
                             cfg.model_name in ("SAGE", "SAGEClassic", "GIN"))
         # ship uint8 per-target degrees instead of int32 dst (wire cut)
         self.compress_dst = all(0 < f <= 127 for f in cfg.train_fanouts)
+        # wire-pack int32 index arrays (2-3 bytes/elem); with gsrc the
+        # outer hop ships GLOBAL ids, so gate on num_nodes < 2^24
+        self.pack_wire = (cfg.pack_wire
+                          and (not self.global_msg0 or V < 2**24)
+                          and self.train_spec.total_node_cap < 2**24)
         self.train_sampler = FastSampler(
             self.native.rowptr, self.native.col,
             np.asarray(graph.y, np.int32),
@@ -177,6 +182,7 @@ class Trainer:
                 hot_cutoff=self.hot_cutoff, x_cold=self.x_cold,
                 cold_cap=cold_cap, emit_gsrc=self.global_msg0,
                 compress_dst=self.compress_dst,
+                pack_wire=self.pack_wire,
                 tight_spec=self.train_tight))
         self.shuffler = Shuffler(train_idx, initial_seed=cfg.seed + 2**31 - 1)
 
@@ -325,6 +331,8 @@ class Trainer:
                 hot_cutoff=self.hot_cutoff, x_cold=self.x_cold,
                 cold_cap=cold_cap, emit_gsrc=self.global_msg0,
                 compress_dst=all(0 < f <= 127 for f in fanouts),
+                pack_wire=(self.pack_wire
+                           and spec.total_node_cap < 2**24),
                 tight_spec=tight),
             idx=eval_idx)
 

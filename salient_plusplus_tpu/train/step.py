@@ -56,12 +56,13 @@ def gather_features(features: jnp.ndarray, batch: PaddedBatch) -> jnp.ndarray:
 
 
 def decode_batch(batch: PaddedBatch) -> PaddedBatch:
-    """Materialize wire-compressed edge fields (EdgeBlock.ddeg → dst) once
-    per step; downstream code sees plain sorted COO."""
-    if all(e.ddeg is None for e in batch.edges):
+    """Materialize wire-compressed edge fields (EdgeBlock.ddeg → dst,
+    packed uint16/uint8 index halves → int32) once per step; downstream
+    code sees plain int32 sorted COO."""
+    if all(e.ddeg is None and e.src_lo is None for e in batch.edges):
         return batch
     return batch.replace(edges=tuple(
-        e.decoded(e.src.shape[0]) for e in batch.edges))
+        e.decoded(e.cap) for e in batch.edges))
 
 
 def _x_and_extra(features, batch: PaddedBatch, global_msg0: bool):

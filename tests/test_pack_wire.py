@@ -1,0 +1,76 @@
+"""Wire-packed index arrays (EdgeBlock.src_lo/src_hi etc.) are a pure
+encoding: decode_batch restores bit-identical int32 arrays, and training
+with pack_wire on/off is loss-bit-equal."""
+
+import numpy as np
+import pytest
+
+from salient_plusplus_tpu.config import RunConfig
+from salient_plusplus_tpu.data import synthetic
+from salient_plusplus_tpu.sampling.batch import BatchSpec
+from salient_plusplus_tpu.sampling.sampler import (
+    FastSampler, FastSamplerConfig)
+from salient_plusplus_tpu.train.step import decode_batch
+
+
+def _graph(v=70_000, deg=8, seed=3):
+    # > 2^16 nodes so the gsrc (global-id) hop exercises the uint8 third
+    # byte; frontier-local hops stay pure uint16
+    return synthetic.powerlaw_graph(
+        name="packw", num_nodes=v, avg_degree=deg, num_features=16,
+        num_classes=5, seed=seed)
+
+
+def _sampler(g, pack, gsrc, spec=None):
+    spec = spec or BatchSpec.worst_case(64, [4, 3])
+    return FastSampler(
+        np.asarray(g.rowptr, np.int64), np.asarray(g.col, np.int32),
+        np.asarray(g.y, np.int32),
+        FastSamplerConfig(spec=spec, batch_size=64, base_seed=11,
+                          num_workers=2, emit_gsrc=gsrc, compress_dst=True,
+                          pack_wire=pack),
+        idx=np.asarray(g.split_idx["train"][:512], np.int64))
+
+
+@pytest.mark.parametrize("gsrc", [False, True])
+def test_pack_roundtrip_bit_equal(gsrc):
+    g = _graph()
+    batches = {}
+    for pack in (False, True):
+        s = _sampler(g, pack, gsrc)
+        it = iter(s)
+        got = []
+        for b in it:
+            got.append(b.to_padded_batch(b.bucket))
+            # NOT recycled: keep buffers alive for comparison
+        batches[pack] = got
+    assert len(batches[True]) == len(batches[False]) > 0
+    saw_hi = False
+    for plain, packed in zip(batches[False], batches[True]):
+        assert packed.edges[0].src is None  # actually shipped packed
+        dec = decode_batch(packed)
+        for ep, ed in zip(plain.edges, dec.edges):
+            np.testing.assert_array_equal(ep.src, np.asarray(ed.src))
+            if ep.msrc is not None:
+                np.testing.assert_array_equal(ep.msrc, np.asarray(ed.msrc))
+                np.testing.assert_array_equal(ep.mdst, np.asarray(ed.mdst))
+        saw_hi |= any(e.src_hi is not None for e in packed.edges)
+    # the gsrc hop ships global ids < 70_000 > 2^16 → needs the third byte
+    assert saw_hi == gsrc
+
+
+def test_train_losses_bit_equal_with_packing():
+    from salient_plusplus_tpu.train.loop import Trainer
+
+    g = _graph(v=70_000, deg=6)
+    losses = {}
+    for pack in (False, True):
+        cfg = RunConfig(train_batch_size=128, train_fanouts=[5, 3],
+                        hidden_features=32, num_layers=2, epochs=1,
+                        num_workers=2, calibration_batches=4,
+                        pack_wire=pack, model_name="SAGE")
+        tr = Trainer(cfg, g)
+        assert tr.pack_wire == pack
+        tr.train_sampler.set_epoch(g.split_idx["train"][:1024], 0)
+        losses[pack] = tr.train_epoch(0)
+    assert losses[True] == losses[False]
