@@ -84,7 +84,8 @@ def main():
             bufs.attach_gsrc()
         if trainer.pack_wire:
             bufs.attach_pack(trainer.train_sampler.pack_src_maxval(),
-                             node_caps=trainer.train_spec.node_caps)
+                             node_caps=trainer.train_spec.node_caps,
+                             num_nodes=trainer.train_sampler.num_nodes)
         trainer.native.sample_into(
             bufs, np.sort(idx[: spec.seed_cap]), rng_seed=1,
             y_global=np.asarray(g.y, np.int32))

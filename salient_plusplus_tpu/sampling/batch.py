@@ -168,7 +168,8 @@ class PaddedBatch(struct.PyTreeNode):
     bucket and can read capacities as Python ints.
     """
 
-    n_id: "np.ndarray"          # int32 [node_caps[-1]] global ids, padded with 0
+    n_id: "np.ndarray"          # int32 [node_caps[-1]] global ids, padded
+    #                             with 0 (None when shipped wire-packed)
     level_sizes: "np.ndarray"   # int32 [L+1]
     edges: Tuple[EdgeBlock, ...]  # PROCESSING order: edges[i] = hop L-1-i
     y: "np.ndarray"             # int32 [seed_cap]
@@ -186,7 +187,16 @@ class PaddedBatch(struct.PyTreeNode):
     # shrinks to the level-(L-1) prefix — the level-L tail is only ever a
     # message source (single-host all-HBM path; see train/step.py)
     gsrc: "np.ndarray" = None        # int32 [edge_caps[L-1]] or None
+    # wire-packed n_id (global ids < 2^24; see EdgeBlock packed fields)
+    n_id_lo: "np.ndarray" = None     # uint16
+    n_id_hi: "np.ndarray" = None     # uint8 or None (V < 2^16)
     spec: BatchSpec = struct.field(pytree_node=False, default=None)
+
+    def decoded_n_id(self) -> "PaddedBatch":
+        if self.n_id_lo is None:
+            return self
+        return self.replace(n_id=_unpack24(self.n_id_lo, self.n_id_hi),
+                            n_id_lo=None, n_id_hi=None)
 
     @property
     def num_layers(self) -> int:

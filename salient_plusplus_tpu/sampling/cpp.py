@@ -108,6 +108,8 @@ class BatchBuffers:
         self.ddeg_offsets = None
         self.src_lo = None
         self.src_hi = None
+        self.n_id_lo = None
+        self.n_id_hi = None
         self.msrc_lo = None
         self.msrc_hi = None
         self.mdst_lo = None
@@ -156,7 +158,8 @@ class BatchBuffers:
             _ptr(self.n_id, _c_i32p),
             _ptr(self.edge_src[off:], _c_i32p), ctypes.c_int64(cap))
 
-    def attach_pack(self, src_maxval: tuple, node_caps: tuple = None):
+    def attach_pack(self, src_maxval: tuple, node_caps: tuple = None,
+                    num_nodes: int = None):
         """Wire-pack the int32 index arrays: ship low uint16 halves plus a
         uint8 third byte only for hops whose value range reaches bits
         16..23 (``src_maxval[h]`` = exclusive bound of hop h's src values —
@@ -168,7 +171,8 @@ class BatchBuffers:
         the caps of the spec whose 2-bucket programs these buffers feed
         (tight-bucket warm-up buffers pass the BIG spec's caps so the uint8
         field presence — part of the compiled treedef — matches worker
-        buffers, which are always big-spec sized)."""
+        buffers, which are always big-spec sized). With ``num_nodes`` (and
+        num_nodes < 2^24) the global-id n_id array packs the same way."""
         spec = self.spec
         L = spec.num_hops
         node_caps = tuple(node_caps or spec.node_caps)
@@ -195,6 +199,11 @@ class BatchBuffers:
              if node_caps[h] > 2**16 else None)
             for h in range(L - 1)
         ]
+        if num_nodes is not None and num_nodes <= 2**24:
+            n = int(spec.total_node_cap)
+            self.n_id_lo = np.zeros(n, np.uint16)
+            self.n_id_hi = (np.zeros(n, np.uint8)
+                            if num_nodes > 2**16 else None)
 
     @staticmethod
     def _pack_one(flat_i32, lo, his, edge_offsets):
@@ -211,6 +220,11 @@ class BatchBuffers:
     def fill_pack(self):
         self._pack_one(self.edge_src, self.src_lo, self.src_hi,
                        self.edge_offsets)
+        if self.n_id_lo is not None:
+            u16 = self.n_id.view(np.uint16)
+            self.n_id_lo[:] = u16[0::2]
+            if self.n_id_hi is not None:
+                self.n_id_hi[:] = self.n_id.view(np.uint8)[2::4]
         if self.msrc_lo.shape[0]:
             self._pack_one(self.mirror_src, self.msrc_lo, self.msrc_hi,
                            self.edge_offsets)
@@ -362,10 +376,15 @@ class BatchBuffers:
         # gsrc mode: only the level-(L-1) prefix of the frontier is ever
         # gathered on device (layer 0 reads the global table directly), so
         # the tail never rides H2D
-        n_id = (self.n_id[:spec.total_node_cap] if self.gsrc is None
-                else self.n_id[:spec.node_caps[L - 1]])
+        n_cap = (spec.total_node_cap if self.gsrc is None
+                 else spec.node_caps[L - 1])
+        pack_nid = self.n_id_lo is not None
         return PaddedBatch(
-            n_id=n_id, level_sizes=self.level_sizes, edges=edges,
+            n_id=None if pack_nid else self.n_id[:n_cap],
+            n_id_lo=self.n_id_lo[:n_cap] if pack_nid else None,
+            n_id_hi=(self.n_id_hi[:n_cap]
+                     if pack_nid and self.n_id_hi is not None else None),
+            level_sizes=self.level_sizes, edges=edges,
             y=self.y, seed_count=self.seed_count, overflow=self.overflow,
             gsrc=self.gsrc,
             cold_rows=self.cold_rows, cold_pos=self.cold_pos,

@@ -166,7 +166,8 @@ class FastSamplerIter:
             if cfg.compress_dst:
                 bufs.attach_ddeg()
             if cfg.pack_wire:
-                bufs.attach_pack(self.sampler.pack_src_maxval())
+                bufs.attach_pack(self.sampler.pack_src_maxval(),
+                                 num_nodes=self.sampler.num_nodes)
             self._free.put(bufs)
         for bno, seeds in enumerate(self.batches):
             self._work.put(bno)
@@ -315,7 +316,8 @@ class FastPreSampler:
             if cfg.compress_dst:
                 bufs.attach_ddeg()
             if cfg.pack_wire:
-                bufs.attach_pack(self.sampler.pack_src_maxval())
+                bufs.attach_pack(self.sampler.pack_src_maxval(),
+                                 num_nodes=self.sampler.num_nodes)
             self.sampler.native.sample_into(
                 bufs, batches[bno],
                 rng_seed=batch_seed(cfg.base_seed, epoch, bno),
@@ -360,6 +362,10 @@ class FastSampler:
 
     def get_epoch_idx(self, epoch: int) -> np.ndarray:
         return self.idx
+
+    @property
+    def num_nodes(self) -> int:
+        return self.native.rowptr.shape[0] - 1
 
     def pack_src_maxval(self):
         """Per-hop exclusive bound of edge-src values (attach_pack): the

@@ -59,6 +59,7 @@ def decode_batch(batch: PaddedBatch) -> PaddedBatch:
     """Materialize wire-compressed edge fields (EdgeBlock.ddeg → dst,
     packed uint16/uint8 index halves → int32) once per step; downstream
     code sees plain int32 sorted COO."""
+    batch = batch.decoded_n_id()
     if all(e.ddeg is None and e.src_lo is None for e in batch.edges):
         return batch
     return batch.replace(edges=tuple(

@@ -50,7 +50,7 @@ def test_cold_overlay_kernel_matches_scatter(tiny_graph):
     from salient_plusplus_tpu.config import RunConfig
     from salient_plusplus_tpu.ops import mxu_segment as M
     from salient_plusplus_tpu.train.loop import Trainer
-    from salient_plusplus_tpu.train.step import gather_features
+    from salient_plusplus_tpu.train.step import decode_batch, gather_features
 
     cfg = RunConfig(train_batch_size=64, train_fanouts=[5, 3],
                     batchwise_test_fanouts=[6, 6],
@@ -63,6 +63,7 @@ def test_cold_overlay_kernel_matches_scatter(tiny_graph):
     b = jax.device_put(jax.tree_util.tree_map(np.array,
                                               next(it).to_padded_batch()))
     it.close()
+    b = decode_batch(b)  # gather_features consumes post-decode batches
     assert b.cold_rows is not None and int(b.cold_count) > 0
 
     M.use_mxu_spmm(True, interpret=True)

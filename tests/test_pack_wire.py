@@ -48,7 +48,9 @@ def test_pack_roundtrip_bit_equal(gsrc):
     saw_hi = False
     for plain, packed in zip(batches[False], batches[True]):
         assert packed.edges[0].src is None  # actually shipped packed
+        assert packed.n_id is None and packed.n_id_lo is not None
         dec = decode_batch(packed)
+        np.testing.assert_array_equal(plain.n_id, np.asarray(dec.n_id))
         for ep, ed in zip(plain.edges, dec.edges):
             np.testing.assert_array_equal(ep.src, np.asarray(ed.src))
             if ep.msrc is not None:
