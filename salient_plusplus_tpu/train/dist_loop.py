@@ -323,14 +323,13 @@ class DistributedTrainer:
             worst = max(worst, int(cnt.max()))
         return int(-(-int(worst * self.cfg.spec_safety) // align) * align)
 
-    def _exchange_cold(self, reqs, cap: int):
-        """Fetch cold rows from their owners: ids all_to_all → host gather
-        from each device's OWN cold tail → rows all_to_all back. Returns a
-        mesh-sharded [ndev, world*cap, F] array aligned with the packed
-        cold_pos layout (owner-served tier; reference N7 capability,
-        fast_sampler.cpp:716-776, without the replicated-RAM cost)."""
-        from ..sampling.cpp import gather_rows
-
+    def _cold_ids_a2a(self, reqs):
+        """Dispatch (async) the cold-request ids all_to_all. Callers issue
+        this one batch AHEAD of the step that needs the rows, so the
+        result is already device-complete when :meth:`_cold_serve` reads
+        it — the reference's std::async slicing-overlapped-with-pipeline
+        capability (N7, fast_sampler.cpp:716-776 + transferers.py
+        stages 6-7) without the replicated-RAM cost."""
         if self._a2a is None:
             def xch(a):
                 r = jax.lax.all_to_all(a[0], DATA_AXIS, split_axis=0,
@@ -342,8 +341,15 @@ class DistributedTrainer:
             self._a2a = jax.jit(jax.shard_map(
                 xch, mesh=self.mesh, in_specs=P(DATA_AXIS),
                 out_specs=P(DATA_AXIS), check_vma=False))
-        ids_glob = self._to_global(np.stack(reqs))       # [ndev, world, cap]
-        recv = self._a2a(ids_glob)
+        return self._a2a(self._to_global(np.stack(reqs)))
+
+    def _cold_serve(self, recv, cap: int):
+        """Host-gather requested rows from each local device's OWN cold
+        tail (O(V/k) per host) and dispatch the rows all_to_all back.
+        Returns a mesh-sharded [ndev, world*cap, F] array aligned with the
+        packed cold_pos layout."""
+        from ..sampling.cpp import gather_rows
+
         F = int(self.x_cold_own[0].shape[1])
         rows = np.zeros((len(self.local_ranks), self.world, cap, F),
                         self.x_cold_own[0].dtype)
@@ -359,6 +365,10 @@ class DistributedTrainer:
                        - self.hot_size)
                 rows[li][m] = gather_rows(self.x_cold_own[li], idx)
         return self._a2a(self._to_global(rows))          # [ndev, world*cap, F]
+
+    def _exchange_cold(self, reqs, cap: int):
+        """Unoverlapped ids→gather→rows exchange (see the split halves)."""
+        return self._cold_serve(self._cold_ids_a2a(reqs), cap)
 
     def _calibrate_cold_cap(self, spec, pool=None, align: int = 128) -> int:
         rng = np.random.default_rng(self.cfg.seed + 21)
@@ -527,31 +537,51 @@ class DistributedTrainer:
         ex_accum = []  # device scalars; converted once at epoch end (a
         #                per-step D2H read is a network round-trip on
         #                remotely-attached TPUs)
-        sample_wait = assemble = 0.0
+        sample_wait = assemble = cold_serve = 0.0
+
+        def _assemble():
+            """Stack the next per-device batches and DISPATCH their cold
+            ids all_to_all (async) — issued one step ahead of the step
+            that consumes the rows, so the ids D2H + host gather in
+            :meth:`_cold_serve` overlap the previous step's device
+            compute (the reference's async-slicing overlap, N7)."""
+            nonlocal sample_wait, assemble
+            t0 = time.perf_counter()
+            bufs = [next(it) for it in its]
+            t1 = time.perf_counter()
+            sample_wait += t1 - t0
+            # one SPMD program per step: the tight bucket applies only
+            # when EVERY rank's batch fits it (all-or-nothing)
+            bucket = (self.train_tight
+                      if self.train_tight is not None
+                      and all(b.bucket is not None for b in bufs)
+                      else None)
+            stacked = stack_batches(
+                [b.to_padded_batch(bucket) for b in bufs])
+            stacked = jax.tree_util.tree_map(np.array, stacked)
+            cold_reqs = ([b.cold_req.copy() for b in bufs]
+                         if self._owner_cold else None)
+            dev = self._to_global(stacked)
+            for it, b in zip(its, bufs):
+                it.recycle(b)
+            ids_recv = (self._cold_ids_a2a(cold_reqs)
+                        if cold_reqs is not None else None)
+            assemble += time.perf_counter() - t1
+            return dev, ids_recv
+
         with self.stats.region("train_epoch"):
+            nxt = _assemble()
             for step_i in range(n_iters):
-                t0 = time.perf_counter()
-                bufs = [next(it) for it in its]
-                t1 = time.perf_counter()
-                sample_wait += t1 - t0
-                # one SPMD program per step: the tight bucket applies only
-                # when EVERY rank's batch fits it (all-or-nothing)
-                bucket = (self.train_tight
-                          if self.train_tight is not None
-                          and all(b.bucket is not None for b in bufs)
-                          else None)
-                stacked = stack_batches(
-                    [b.to_padded_batch(bucket) for b in bufs])
-                stacked = jax.tree_util.tree_map(np.array, stacked)
-                cold_reqs = ([b.cold_req.copy() for b in bufs]
-                             if self._owner_cold else None)
-                dev = self._to_global(stacked)
-                for it, b in zip(its, bufs):
-                    it.recycle(b)
-                if cold_reqs is not None:
-                    dev = dev.replace(cold_rows=self._exchange_cold(
-                        cold_reqs, self.cold_r_cap))
-                assemble += time.perf_counter() - t1
+                dev, ids_recv = nxt
+                # queue batch k+1's ids a2a BEFORE step k: by iteration
+                # k+1 its result is device-complete and the serve below
+                # never blocks on the device
+                nxt = _assemble() if step_i + 1 < n_iters else None
+                if ids_recv is not None:
+                    t2 = time.perf_counter()
+                    dev = dev.replace(cold_rows=self._cold_serve(
+                        ids_recv, self.cold_r_cap))
+                    cold_serve += time.perf_counter() - t2
                 self.state, loss, ex = self.train_step(
                     self.state, self.features, dev,
                     self.part_offsets_dev, self.cache)
@@ -564,6 +594,7 @@ class DistributedTrainer:
         # stacking + H2D dispatch; remainder of the region = device-bound
         self.stats.add("sample_wait", sample_wait)
         self.stats.add("assemble_h2d", assemble)
+        self.stats.add("cold_serve", cold_serve)
         self.stats.end_epoch()
         if ex_accum:
             tot = jax.device_get(ex_accum)
@@ -654,7 +685,8 @@ class DistributedTrainer:
                 idx=idx)
             its.append(iter(s))
         acc = []  # device scalars; one D2H per split, not per batch
-        for _ in range(n_iters):
+
+        def _assemble():
             bufs = [next(it) for it in its]
             stacked = stack_batches([b.to_padded_batch() for b in bufs])
             stacked = jax.tree_util.tree_map(np.array, stacked)
@@ -663,9 +695,16 @@ class DistributedTrainer:
             dev = self._to_global(stacked)
             for it, b in zip(its, bufs):
                 it.recycle(b)
-            if cold_reqs is not None:
-                dev = dev.replace(cold_rows=self._exchange_cold(
-                    cold_reqs, e_cold_rcap))
+            return dev, (self._cold_ids_a2a(cold_reqs)
+                         if cold_reqs is not None else None)
+
+        nxt = _assemble()
+        for k in range(n_iters):
+            dev, ids_recv = nxt
+            nxt = _assemble() if k + 1 < n_iters else None
+            if ids_recv is not None:
+                dev = dev.replace(cold_rows=self._cold_serve(
+                    ids_recv, e_cold_rcap))
             acc.append(eval_step(self.state, self.features, dev,
                                  self.part_offsets_dev, self.cache))
         for it in its:
