@@ -61,6 +61,38 @@ def test_pack_roundtrip_bit_equal(gsrc):
     assert saw_hi == gsrc
 
 
+def test_mirror_hi_byte_roundtrip():
+    """Mirror arrays with values beyond 2^16 (node caps > 65536) must take
+    the uint8 third-byte path — not reachable from small e2e graphs."""
+    from salient_plusplus_tpu.sampling.cpp import BatchBuffers
+
+    spec = BatchSpec(fanouts=(2, 2), seed_cap=128,
+                     node_caps=(128, 70_000, 140_000),
+                     edge_caps=(512, 512))
+    bufs = BatchBuffers(spec)
+    rng = np.random.default_rng(0)
+    bufs.edge_src[:] = rng.integers(0, 140_000, bufs.edge_src.shape)
+    bufs.mirror_src[:] = rng.integers(0, 70_000, bufs.mirror_src.shape)
+    bufs.mirror_dst[:] = rng.integers(0, 128, bufs.mirror_dst.shape)
+    bufs.attach_pack(src_maxval=(70_000, 140_000), num_nodes=200_000)
+    bufs.fill_pack()
+    b = bufs.to_padded_batch()
+    assert b.edges[0].src_hi is not None     # hop 1 (processing order 0)
+    assert b.edges[1].src_hi is not None
+    assert b.edges[1].msrc_hi is not None    # msrc < 70_000 > 2^16
+    assert b.edges[1].mdst_hi is None        # mdst < 128
+    dec = decode_batch(b)
+    np.testing.assert_array_equal(
+        bufs.edge_src[512:], np.asarray(dec.edges[0].src))
+    np.testing.assert_array_equal(
+        bufs.edge_src[:512], np.asarray(dec.edges[1].src))
+    np.testing.assert_array_equal(
+        bufs.mirror_src[:512], np.asarray(dec.edges[1].msrc))
+    np.testing.assert_array_equal(
+        bufs.mirror_dst[:512], np.asarray(dec.edges[1].mdst))
+    np.testing.assert_array_equal(bufs.n_id, np.asarray(dec.n_id))
+
+
 def test_train_losses_bit_equal_with_packing():
     from salient_plusplus_tpu.train.loop import Trainer
 
