@@ -71,10 +71,10 @@ def assemble_features(
     shard holds only the first hot_size rows of its partition; frontier
     rows past a partition's hot prefix are *cold* — excluded from the
     exchange entirely (zeros here) and overlaid by the caller from the
-    host-gathered cold payload shipped with the batch. The cold tail is
-    replicated in every host's RAM, so cold rows are always host-local —
-    no mid-step cross-host slicing (the reference needs a CPU round-trip
-    for this, fast_sampler.cpp:716-776)."""
+    cold payload: either host-gathered rows shipped with the batch
+    (replicated-tail mode) or the owner-served pre-step cold all_to_all
+    (train/dist_loop.py), the analog of the reference's CPU-tier slicing
+    (fast_sampler.cpp:716-776)."""
     N_cap = n_id.shape[0]
     F = local_shard.shape[1]
     world = part_offsets.shape[0] - 1
