@@ -25,6 +25,7 @@ def planted_partition(
     feature_noise: float = 1.0,
     seed: int = 0,
     x_dtype=np.float16,
+    normalize: bool = False,
 ) -> GraphData:
     """Stochastic block model-ish graph with class-informative features.
 
@@ -32,6 +33,13 @@ def planted_partition(
     the same class, the rest uniform. Features = class centroid + N(0, noise).
     A 2-3 hop GNN separates classes well above chance, so training-accuracy
     regressions are observable.
+
+    ``normalize`` rescales features to unit total variance so raising
+    ``feature_noise`` dials task hardness (signal fraction
+    1/sqrt(1+noise^2)) WITHOUT growing the input scale — large-noise
+    unnormalized inputs saturate the logits and collapse training, which
+    measures optimization fragility, not graph learning. Use for
+    non-saturating accuracy-tracking runs (docs/SCALE_RUN.md).
     """
     rng = np.random.default_rng(seed)
     V, C = num_nodes, num_classes
@@ -58,6 +66,8 @@ def planted_partition(
 
     centroids = rng.normal(0, 1, size=(C, num_features)).astype(np.float32)
     x = centroids[y] + rng.normal(0, feature_noise, size=(V, num_features)).astype(np.float32)
+    if normalize:
+        x /= np.sqrt(1.0 + feature_noise * feature_noise)
     x = x.astype(x_dtype)
 
     perm = rng.permutation(V)

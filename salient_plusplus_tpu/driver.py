@@ -33,6 +33,15 @@ def load_dataset(cfg, name: str):
             num_classes=int(kv.get("C", 32)),
             avg_degree=int(kv.get("deg", 12)),
             num_features=int(kv.get("F", 64)),
+            # p_intra/noise make the task non-saturating (accuracy-curve
+            # tracking runs, docs/SCALE_RUN.md): weak features force the
+            # model to denoise via multi-hop aggregation
+            p_intra=float(kv.get("intra", 0.7)),
+            feature_noise=float(kv.get("noise", 1.0)),
+            # hardness knobs imply the normalized construction (see
+            # synthetic.planted_partition docstring); default specs keep
+            # the historical unnormalized scale
+            normalize=("noise" in kv or "intra" in kv),
             seed=int(kv.get("seed", 0)),
         )
     path = os.path.join(cfg.dataset_root, name)
