@@ -26,6 +26,29 @@ import numpy as np
 BASELINE_EDGES_PER_S = 45e6
 
 
+def _await_h2d_credit(jax, min_rate_mbs=600.0, attempts=4, rest_s=180):
+    """Pre-flight: the remote-TPU tunnel throttles sustained H2D to a
+    credit that recovers after a few idle minutes (PERF_NOTES.md). A bench
+    started in the drained state measures the tunnel, not the chip — probe
+    the burst rate with fresh buffers and wait out degradation (bounded)."""
+    import sys
+
+    rng = np.random.default_rng(7)
+    # first-contact handshake/alloc overhead must not count as "drained"
+    jax.block_until_ready(jax.device_put(np.zeros((1024, 1024), np.uint8)))
+    for i in range(attempts):
+        a = rng.integers(0, 255, size=(32, 1024, 1024), dtype=np.uint8)
+        t0 = time.perf_counter()
+        jax.block_until_ready(jax.device_put(a))
+        rate = 32.0 / max(time.perf_counter() - t0, 1e-9)
+        print(f"h2d_preflight: {rate:.0f} MB/s (attempt {i + 1})",
+              file=sys.stderr)
+        if rate >= min_rate_mbs or i == attempts - 1:
+            return rate
+        time.sleep(rest_s)
+    return 0.0
+
+
 def main():
     import jax
 
@@ -33,6 +56,10 @@ def main():
     from salient_plusplus_tpu.data import synthetic
     from salient_plusplus_tpu.train.loop import Trainer
     from salient_plusplus_tpu.train.pipeline import DeviceFeeder
+
+    if jax.devices()[0].platform != "cpu" and \
+            os.environ.get("BENCH_PREFLIGHT", "1") != "0":
+        _await_h2d_credit(jax)
 
     num_nodes = int(os.environ.get("BENCH_NUM_NODES", 1_000_000))
     steps = int(os.environ.get("BENCH_STEPS", 60))
