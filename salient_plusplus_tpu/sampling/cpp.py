@@ -177,6 +177,7 @@ class BatchBuffers:
         L = spec.num_hops
         node_caps = tuple(node_caps or spec.node_caps)
         assert all(v <= 2**24 for v in src_maxval), src_maxval
+        assert all(v <= 2**24 for v in node_caps), node_caps
         total_e = int(self.edge_offsets[-1])
         self.src_lo = np.zeros(total_e, np.uint16)
         self.src_hi = [
