@@ -176,6 +176,9 @@ def main():
         "value": round(eps, 1),
         "unit": "edges/s",
         "vs_baseline": round(eps / BASELINE_EDGES_PER_S, 4),
+        # window-by-window evidence: best-window reporting under the
+        # remote tunnel's ±30% state variance needs the full picture
+        "windows_edges_per_s": [round(w, 1) for w in windows],
         "pad_waste_nodes": round(it.stats.node_waste(spec.total_node_cap), 4),
         "pad_waste_edges": round(it.stats.edge_waste(sum(spec.edge_caps)), 4),
         "tight_frac": round(
