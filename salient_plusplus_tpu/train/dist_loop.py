@@ -621,9 +621,21 @@ class DistributedTrainer:
                         "local", local, "overflow", overflow)
         if overflow:
             # the reference never drops data (N9/N10); overflowed requests
-            # zero-fill rows — surface loudly so caps get recalibrated
+            # zero-fill rows — surface loudly AND recalibrate: grow the
+            # request budget so the next epoch's exchange stops dropping.
+            # Deterministic across processes (overflow is psum'd, so every
+            # host grows the same cap and compiles the same programs).
             self.logger.log("WARNING_TRAIN_OVERFLOW", epoch, overflow,
                             "r_cap", self.r_cap)
+            # re-probe (the observed stream proved the budget short, so
+            # probes alone may underestimate — never shrink, always grow)
+            probed = self._calibrate_r_cap(
+                cache_ids=getattr(self, "_cache_ids_host", None))
+            self.r_cap = max(probed,
+                             int(-(-int(self.r_cap * 1.25) // 128) * 128))
+            self._build_steps(with_cache=self.cache is not None)
+            self.eval_specs.clear()
+            self.logger.log("R_CAP_GROWN_AFTER_OVERFLOW", self.r_cap)
         return {"loss": mean_loss, "sent_bytes": sent_bytes,
                 "wire_bytes": wire_bytes, "r_cap": self.r_cap,
                 "remote": remote, "cache_hits": cached_hits,

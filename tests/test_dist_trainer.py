@@ -199,3 +199,36 @@ def test_distributed_gat(dist_trainer):
     m1 = t.train_epoch(1)
     assert np.isfinite(m1["loss"]) and m1["loss"] < m0["loss"]
     assert 0 <= t.evaluate("valid") <= 1
+
+
+def test_overflow_grows_r_cap():
+    """A too-small request budget must not silently drop rows forever:
+    the trainer grows r_cap after an overflowing epoch (VERDICT round-1
+    calibration-hardening item; the reference never drops data, N9/N10)."""
+    g = synthetic.planted_partition(
+        name="ovf", num_nodes=4000, num_classes=8, avg_degree=10,
+        num_features=32, seed=12)
+    labels = multiconstraint_partition(g.rowptr, g.col, WORLD, seed=0)
+    cfg = RunConfig(
+        train_batch_size=128, test_batch_size=256,
+        train_fanouts=[6, 4], batchwise_test_fanouts=[8, 8],
+        final_test_fanouts=[8, 8], hidden_features=32, num_layers=2,
+        lr=0.01, num_workers=2, calibration_batches=3, seed=0,
+        load_balance_scheme="federated",
+    )
+    t = DistributedTrainer(cfg, g, labels, mesh=make_mesh(WORLD))
+    assert t.r_cap > 128  # calibrated budget is comfortably larger
+    t.r_cap = 128         # sabotage: force a drop-inducing budget
+    t._build_steps(with_cache=False)
+    caps = [t.r_cap]
+    overflows = []
+    for epoch in range(4):
+        m = t.train_epoch(epoch)
+        overflows.append(m["overflow"])
+        caps.append(t.r_cap)
+        if m["overflow"] == 0:
+            break
+    assert overflows[0] > 0, "sabotaged budget should overflow"
+    assert caps[-1] > 128, "r_cap must grow after overflow"
+    assert overflows[-1] == 0, (
+        f"growth must reach a non-dropping budget: {overflows} {caps}")
