@@ -66,6 +66,7 @@ class SamplerStats:
     batches: int = 0
     dropped_nodes: int = 0
     dropped_edges: int = 0
+    dropped_cold: int = 0    # cold-tier rows over the cold budget
     # static-shape padding accounting (padded rows cost real device time):
     # waste fraction = 1 − real/padded, where padded sums each batch's OWN
     # bucket caps (2-bucket batches pay the tight caps, not the big ones)
@@ -199,16 +200,16 @@ class FastSamplerIter:
                     dropped = bufs.fill_cold_requests(
                         cfg.cold_part_size, cfg.cold_hot_size)
                     if dropped:
-                        self.stats.dropped_nodes += dropped
+                        self.stats.dropped_cold += dropped
                 elif cfg.cold_part_size is not None:
                     dropped = bufs.fill_cold_partitioned(
                         cfg.x_cold, cfg.cold_part_size, cfg.cold_hot_size)
                     if dropped:
-                        self.stats.dropped_nodes += dropped
+                        self.stats.dropped_cold += dropped
                 elif cfg.hot_cutoff is not None:
                     dropped = bufs.fill_cold(cfg.x_cold, cfg.hot_cutoff)
                     if dropped:
-                        self.stats.dropped_nodes += dropped
+                        self.stats.dropped_cold += dropped
                 if cfg.compress_dst:
                     bufs.fill_ddeg()
                 if cfg.emit_gsrc:

@@ -605,8 +605,36 @@ class DistributedTrainer:
             overflow = sum(int(e.num_overflow) for e in tot)
         else:
             sent_bytes = remote = cached_hits = local = overflow = 0
+        samp_drop_n = sum(it.stats.dropped_nodes for it in its)
+        samp_drop_e = sum(it.stats.dropped_edges for it in its)
+        cold_drops = sum(it.stats.dropped_cold for it in its)
         for it in its:
             it.close()
+        if samp_drop_n or samp_drop_e:
+            self.logger.log("WARNING_TRAIN_DROPPED", epoch,
+                            samp_drop_n, samp_drop_e)
+        if cold_drops:
+            # cold rows over the cold budget zero-fill — grow the budget
+            # (reprobe; never shrink; min 1.25x). Buffer pools are rebuilt
+            # per epoch from the config, so mutating it suffices.
+            if self._owner_cold:
+                self.logger.log("WARNING_COLD_DROPPED", epoch, cold_drops,
+                                "cold_r_cap", self.cold_r_cap)
+                self.cold_r_cap = max(
+                    self._calibrate_cold_r_cap(self.train_spec),
+                    int(-(-int(self.cold_r_cap * 1.25) // 128) * 128))
+                for smp in self.samplers:
+                    smp.cfg.cold_r_cap = self.cold_r_cap
+                self.logger.log("COLD_R_CAP_GROWN", self.cold_r_cap)
+            else:
+                self.logger.log("WARNING_COLD_DROPPED", epoch, cold_drops,
+                                "cold_cap", self.cold_cap)
+                self.cold_cap = max(
+                    self._calibrate_cold_cap(self.train_spec),
+                    int(-(-int(self.cold_cap * 1.25) // 128) * 128))
+                for smp in self.samplers:
+                    smp.cfg.cold_cap = self.cold_cap
+                self.logger.log("COLD_CAP_GROWN", self.cold_cap)
         mean_loss = float(np.mean([float(l) for l in losses]))
         # true wire payload: the all_to_all buffers are static — per step
         # each device sends [world, r_cap] ids + [world, r_cap, F] rows

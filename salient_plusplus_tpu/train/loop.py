@@ -262,6 +262,18 @@ class Trainer:
         if it.stats.dropped_nodes or it.stats.dropped_edges:
             self.logger.log("SAMPLER_OVERFLOW", epoch,
                             it.stats.dropped_nodes, it.stats.dropped_edges)
+        if it.stats.dropped_cold:
+            # over-budget cold rows zero-fill — grow the per-batch cold
+            # buffer (reprobe; never shrink; min 1.25x); the next epoch's
+            # buffer pool picks the new cap up from the config
+            scfg = self.train_sampler.cfg
+            self.logger.log("WARNING_COLD_DROPPED", epoch,
+                            it.stats.dropped_cold, "cold_cap",
+                            scfg.cold_cap)
+            scfg.cold_cap = max(
+                self._calibrate_cold_cap(self.graph.split_idx["train"]),
+                int(-(-int(scfg.cold_cap * 1.25) // 128) * 128))
+            self.logger.log("COLD_CAP_GROWN", scfg.cold_cap)
         mean_loss = float(np.mean([float(l) for l in losses]))
         spec = self.train_spec
         self.logger.log(

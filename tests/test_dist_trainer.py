@@ -232,3 +232,30 @@ def test_overflow_grows_r_cap():
     assert caps[-1] > 128, "r_cap must grow after overflow"
     assert overflows[-1] == 0, (
         f"growth must reach a non-dropping budget: {overflows} {caps}")
+
+
+def test_cold_r_cap_grows_after_drops():
+    """Owner-served tier: a short per-owner cold budget self-corrects."""
+    g = synthetic.planted_partition(
+        name="ovfc", num_nodes=4000, num_classes=8, avg_degree=10,
+        num_features=32, seed=13)
+    labels = multiconstraint_partition(g.rowptr, g.col, WORLD, seed=0)
+    cfg = RunConfig(
+        train_batch_size=96, test_batch_size=128,
+        train_fanouts=[6, 4], batchwise_test_fanouts=[8, 8],
+        final_test_fanouts=[8, 8], hidden_features=32, num_layers=2,
+        lr=0.01, num_workers=2, calibration_batches=3, seed=0,
+        load_balance_scheme="federated", hbm_fraction=0.75,
+        cold_mode="owner",
+    )
+    t = DistributedTrainer(cfg, g, labels, mesh=make_mesh(WORLD))
+    assert t.cold_r_cap > 16
+    t.cold_r_cap = 16  # sabotage: both the exchange cap and pool sizing
+    for smp in t.samplers:
+        smp.cfg.cold_r_cap = 16
+    t.train_epoch(0)
+    grown = t.cold_r_cap
+    assert grown > 16, "cold_r_cap must grow after drops"
+    assert all(smp.cfg.cold_r_cap == grown for smp in t.samplers)
+    t.train_epoch(1)
+    assert t.cold_r_cap == grown, "regrown budget must stop dropping"

@@ -72,3 +72,25 @@ def test_cold_overlay_kernel_matches_scatter(tiny_graph):
     x_scatter = np.asarray(gather_features(t.features, b), np.float32)
     M.use_mxu_spmm(None, interpret=False)
     np.testing.assert_array_equal(x_kernel, x_scatter)
+
+
+def test_cold_cap_grows_after_drops(tiny_graph):
+    """Over-budget cold rows must be self-correcting: the trainer grows
+    the cold buffer after a dropping epoch (single-host tier)."""
+    from salient_plusplus_tpu.config import RunConfig
+    from salient_plusplus_tpu.train.loop import Trainer
+
+    cfg = RunConfig(train_batch_size=64, train_fanouts=[5, 3],
+                    batchwise_test_fanouts=[6, 6],
+                    final_test_fanouts=[6, 6], hidden_features=16,
+                    num_layers=2, lr=0.01, num_workers=1,
+                    calibration_batches=2, seed=4, hbm_fraction=0.5)
+    t = Trainer(cfg, tiny_graph)
+    assert t.train_sampler.cfg.cold_cap > 128
+    t.train_sampler.cfg.cold_cap = 128  # sabotage
+    t.train_epoch(0)
+    grown = t.train_sampler.cfg.cold_cap
+    assert grown > 128, "cap must grow after cold drops"
+    t.train_epoch(1)
+    # second epoch under the regrown cap must not drop
+    assert t.train_sampler.cfg.cold_cap == grown
