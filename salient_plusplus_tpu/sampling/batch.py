@@ -71,6 +71,22 @@ class BatchSpec:
             node_caps.append(rnd(node_caps[-1] + e))
         return cls(tuple(fanouts), batch_size, tuple(node_caps), tuple(edge_caps))
 
+    def grown(self, factor: float = 1.3, align: int = 128,
+              edge_align: int = 512) -> "BatchSpec":
+        """A same-shape spec with caps scaled up (self-correction after a
+        cap-overflow epoch — the reference never drops data, N9/N10;
+        static shapes make the cap a compiled constant, so growth means a
+        retrace, not a silent loss)."""
+        def rnd(v, a):
+            return max(a, int(math.ceil(v * factor / a)) * a)
+
+        node_caps = [self.node_caps[0]]
+        node_caps += [rnd(v, align) for v in self.node_caps[1:]]
+        for i in range(1, len(node_caps)):
+            node_caps[i] = max(node_caps[i], node_caps[i - 1])
+        return BatchSpec(self.fanouts, self.seed_cap, tuple(node_caps),
+                         tuple(rnd(v, edge_align) for v in self.edge_caps))
+
     @classmethod
     def from_measurements(cls, batch_size: int, fanouts: Sequence[int],
                           level_sizes_max: Sequence[int],

@@ -201,6 +201,7 @@ class DistributedTrainer:
                              if self.hot_size is not None else 0)
             self.cold_r_cap = 0
         self._a2a = None  # lazily-built cold all_to_all program
+        self._psum_prog = None  # lazily-built host-stat agreement psum
         self.eval_specs: Dict = {}
 
         self.samplers = [
@@ -322,6 +323,27 @@ class DistributedTrainer:
                               minlength=self.world)
             worst = max(worst, int(cnt.max()))
         return int(-(-int(worst * self.cfg.spec_safety) // align) * align)
+
+    def _allsum_host(self, per_device_rows: np.ndarray) -> np.ndarray:
+        """Sum per-device host-side counters across the WHOLE mesh.
+
+        Self-correction decisions (spec/budget growth) must be identical
+        on every process — diverged compiled shapes would deadlock the
+        collectives — so host-observed drop counts are agreed via one
+        tiny psum per epoch. ``per_device_rows``: [n_local_devices, k]."""
+        if jax.process_count() == 1:
+            return per_device_rows.sum(axis=0)
+        if self._psum_prog is None:
+            def f(a):
+                return jax.lax.psum(a[0], DATA_AXIS)[None]
+
+            self._psum_prog = jax.jit(jax.shard_map(
+                f, mesh=self.mesh, in_specs=P(DATA_AXIS), out_specs=P(),
+                check_vma=False))
+        glob = jax.make_array_from_process_local_data(
+            self.batch_sharding,
+            np.asarray(per_device_rows, np.int64))
+        return np.asarray(self._psum_prog(glob))[0]  # [1, k] → [k]
 
     def _cold_ids_a2a(self, reqs):
         """Dispatch (async) the cold-request ids all_to_all. Callers issue
@@ -605,14 +627,24 @@ class DistributedTrainer:
             overflow = sum(int(e.num_overflow) for e in tot)
         else:
             sent_bytes = remote = cached_hits = local = overflow = 0
-        samp_drop_n = sum(it.stats.dropped_nodes for it in its)
-        samp_drop_e = sum(it.stats.dropped_edges for it in its)
-        cold_drops = sum(it.stats.dropped_cold for it in its)
+        samp_drop_n, samp_drop_e, cold_drops = (int(v) for v in
+            self._allsum_host(np.asarray(
+                [[it.stats.dropped_nodes, it.stats.dropped_edges,
+                  it.stats.dropped_cold] for it in its], np.int64)))
         for it in its:
             it.close()
         if samp_drop_n or samp_drop_e:
+            # cap overflow truncated real data — grow the spec; pools and
+            # programs pick the new caps up next epoch (one retrace).
+            # The growth decision uses globally-agreed counts, so every
+            # process compiles the same shapes.
             self.logger.log("WARNING_TRAIN_DROPPED", epoch,
                             samp_drop_n, samp_drop_e)
+            self.train_spec = self.train_spec.grown()
+            for smp in self.samplers:
+                smp.cfg.spec = self.train_spec
+            self.logger.log("SPEC_GROWN", self.train_spec.node_caps,
+                            self.train_spec.edge_caps)
         if cold_drops:
             # cold rows over the cold budget zero-fill — grow the budget
             # (reprobe; never shrink; min 1.25x). Buffer pools are rebuilt

@@ -259,9 +259,16 @@ class Trainer:
         self.stats.add("feed_starved", feeder.starved_dur)
         self.stats.add("sampler_blocked", it.stats.total_blocked_dur)
         self.stats.end_epoch()
+        spec = self.train_spec  # this epoch's caps (for waste accounting)
         if it.stats.dropped_nodes or it.stats.dropped_edges:
+            # cap overflow truncated real data — grow the spec (next
+            # epoch's pools/programs pick it up; one retrace, no rebuild)
             self.logger.log("SAMPLER_OVERFLOW", epoch,
                             it.stats.dropped_nodes, it.stats.dropped_edges)
+            self.train_spec = self.train_spec.grown()
+            self.train_sampler.cfg.spec = self.train_spec
+            self.logger.log("SPEC_GROWN", self.train_spec.node_caps,
+                            self.train_spec.edge_caps)
         if it.stats.dropped_cold:
             # over-budget cold rows zero-fill — grow the per-batch cold
             # buffer (reprobe; never shrink; min 1.25x); the next epoch's
@@ -275,7 +282,6 @@ class Trainer:
                 int(-(-int(scfg.cold_cap * 1.25) // 128) * 128))
             self.logger.log("COLD_CAP_GROWN", scfg.cold_cap)
         mean_loss = float(np.mean([float(l) for l in losses]))
-        spec = self.train_spec
         self.logger.log(
             "epoch", epoch, "loss", mean_loss,
             "sampler_blocked", round(it.stats.total_blocked_dur, 4),
@@ -366,6 +372,15 @@ class Trainer:
         if it.stats.dropped_nodes or it.stats.dropped_edges:
             self.logger.log("EVAL_SAMPLER_OVERFLOW", split,
                             it.stats.dropped_nodes, it.stats.dropped_edges)
+            # grow the cached eval spec so the NEXT evaluate() of this
+            # split stops truncating (this split's reported accuracy was
+            # computed on zero-filled rows — the log line flags it)
+            fanouts = (self.cfg.final_test_fanouts if split == "test"
+                       else self.cfg.batchwise_test_fanouts)
+            key = (split, tuple(fanouts))
+            spec, tight = self.eval_specs[key]
+            self.eval_specs[key] = (spec.grown(), tight)
+            self.logger.log("EVAL_SPEC_GROWN", split)
         return correct / max(total, 1)
 
     def run_trial(self, trial: int = 0,

@@ -259,3 +259,52 @@ def test_cold_r_cap_grows_after_drops():
     assert all(smp.cfg.cold_r_cap == grown for smp in t.samplers)
     t.train_epoch(1)
     assert t.cold_r_cap == grown, "regrown budget must stop dropping"
+
+
+def test_dist_spec_grows_after_cap_overflow():
+    """Distributed cap overflow self-corrects via globally-agreed drop
+    counts (every process must grow to identical compiled shapes)."""
+    from salient_plusplus_tpu.sampling.batch import BatchSpec
+
+    g = synthetic.planted_partition(
+        name="ovfs", num_nodes=4000, num_classes=8, avg_degree=10,
+        num_features=32, seed=14)
+    labels = multiconstraint_partition(g.rowptr, g.col, WORLD, seed=0)
+    cfg = RunConfig(
+        train_batch_size=96, test_batch_size=128,
+        train_fanouts=[6, 4], batchwise_test_fanouts=[8, 8],
+        final_test_fanouts=[8, 8], hidden_features=32, num_layers=2,
+        lr=0.01, num_workers=2, calibration_batches=3, seed=0,
+        load_balance_scheme="federated",
+    )
+    t = DistributedTrainer(cfg, g, labels, mesh=make_mesh(WORLD))
+    spec = t.train_spec
+    node_caps = [spec.node_caps[0]]
+    for v in spec.node_caps[1:]:
+        node_caps.append(max(node_caps[-1],
+                             (max(128, int(v * 0.5)) // 128) * 128))
+    sab = BatchSpec(spec.fanouts, spec.seed_cap, tuple(node_caps),
+                    tuple((max(512, int(v * 0.5)) // 512) * 512
+                          for v in spec.edge_caps))
+    assert sab != spec
+    t.train_spec = sab
+    t.train_tight = None
+    for smp in t.samplers:
+        smp.cfg.spec = sab
+        smp.cfg.tight_spec = None
+
+    def overflow_events():
+        return sum(1 for e in t.logger.events
+                   if isinstance(e, tuple)
+                   and e[0] == "WARNING_TRAIN_DROPPED")
+
+    t.train_epoch(0)
+    assert overflow_events() > 0, "sabotaged spec must truncate"
+    assert t.train_spec != sab, "spec must grow after overflow"
+    for epoch in range(1, 5):
+        before = overflow_events()
+        t.train_epoch(epoch)
+        if overflow_events() == before:
+            break
+    else:
+        raise AssertionError("growth never reached a non-truncating spec")

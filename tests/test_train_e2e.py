@@ -159,3 +159,54 @@ def test_global_msg0_equivalent(tiny_graph):
     for a, b in zip(jax.tree_util.tree_leaves(p_on),
                     jax.tree_util.tree_leaves(p_off)):
         np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def _shrunk(spec, frac=0.5):
+    from salient_plusplus_tpu.sampling.batch import BatchSpec
+
+    node_caps = [spec.node_caps[0]]
+    for v in spec.node_caps[1:]:
+        node_caps.append(max(node_caps[-1],
+                             (max(128, int(v * frac)) // 128) * 128))
+    edge_caps = tuple((max(512, int(v * frac)) // 512) * 512
+                      for v in spec.edge_caps)
+    return BatchSpec(spec.fanouts, spec.seed_cap, tuple(node_caps),
+                     edge_caps)
+
+
+def test_spec_grows_after_cap_overflow(small_graph):
+    """Cap-overflow epochs self-correct: the spec grows until nothing is
+    truncated (static-shape analog of the reference's never-drop
+    guarantee, N9/N10)."""
+    from salient_plusplus_tpu.config import RunConfig
+    from salient_plusplus_tpu.train.loop import Trainer
+
+    cfg = RunConfig(
+        train_batch_size=256, test_batch_size=512,
+        train_fanouts=[8, 5], batchwise_test_fanouts=[10, 10],
+        final_test_fanouts=[10, 10],
+        hidden_features=32, num_layers=2, lr=0.01, epochs=3,
+        num_workers=2, calibration_batches=4, seed=1,
+    )
+    t = Trainer(cfg, small_graph)
+    sab = _shrunk(t.train_spec)
+    assert sab != t.train_spec
+    t.train_spec = sab
+    t.train_sampler.cfg.spec = sab
+    t.train_tight = None
+    t.train_sampler.cfg.tight_spec = None
+
+    def overflow_events():
+        return sum(1 for e in t.logger.events
+                   if isinstance(e, tuple) and e[0] == "SAMPLER_OVERFLOW")
+
+    t.train_epoch(0)
+    assert overflow_events() > 0, "sabotaged spec must truncate"
+    assert t.train_spec != sab, "spec must grow after overflow"
+    for epoch in range(1, 5):
+        before = overflow_events()
+        t.train_epoch(epoch)
+        if overflow_events() == before:
+            break  # an epoch truncated nothing — self-corrected
+    else:
+        raise AssertionError("growth never reached a non-truncating spec")
