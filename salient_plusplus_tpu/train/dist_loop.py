@@ -779,8 +779,30 @@ class DistributedTrainer:
                     ids_recv, e_cold_rcap))
             acc.append(eval_step(self.state, self.features, dev,
                                  self.part_offsets_dev, self.cache))
+        drop_n, drop_e, drop_c = (int(v) for v in self._allsum_host(
+            np.asarray([[it.stats.dropped_nodes, it.stats.dropped_edges,
+                         it.stats.dropped_cold] for it in its], np.int64)))
         for it in its:
             it.close()
+        if drop_n or drop_e or drop_c:
+            # this split's accuracy was computed on truncated batches —
+            # flag it and rebuild the cached entry grown, so the next
+            # evaluate() of this split stops dropping (process-agreed)
+            self.logger.log("EVAL_SAMPLER_OVERFLOW", split,
+                            drop_n, drop_e, drop_c)
+            espec2 = spec.grown() if (drop_n or drop_e) else spec
+            e_rcap2 = self._calibrate_r_cap(
+                espec2, cache_ids=getattr(self, "_cache_ids_host", None),
+                split=split)
+            e_cold2 = (max(self._calibrate_cold_r_cap(
+                espec2, pool=self.pg.split_idx[split]),
+                int(-(-int(e_cold_rcap * 1.25) // 128) * 128))
+                if self._owner_cold else 0)
+            self.eval_specs[key] = (espec2, make_spmd_eval_step(
+                self.mesh, "partitioned", r_cap=e_rcap2,
+                with_cache=self.cache is not None,
+                hot_size=self.hot_size), e_cold2)
+            self.logger.log("EVAL_SPEC_GROWN", split)
         pairs = jax.device_get(acc)
         correct = sum(int(c) for c, _ in pairs)
         total = sum(int(t) for _, t in pairs)
