@@ -667,7 +667,9 @@ class DistributedTrainer:
                 for smp in self.samplers:
                     smp.cfg.cold_cap = self.cold_cap
                 self.logger.log("COLD_CAP_GROWN", self.cold_cap)
-        mean_loss = float(np.mean([float(l) for l in losses]))
+        # one batched D2H for the epoch's losses (per-item float() would
+        # cost a network round-trip each on remotely-attached TPUs)
+        mean_loss = float(np.mean(jax.device_get(losses)))
         # true wire payload: the all_to_all buffers are static — per step
         # each device sends [world, r_cap] ids + [world, r_cap, F] rows
         # (cache-aware r_cap recalibration is what shrinks this)

@@ -281,7 +281,9 @@ class Trainer:
                 self._calibrate_cold_cap(self.graph.split_idx["train"]),
                 int(-(-int(scfg.cold_cap * 1.25) // 128) * 128))
             self.logger.log("COLD_CAP_GROWN", scfg.cold_cap)
-        mean_loss = float(np.mean([float(l) for l in losses]))
+        # one batched D2H (device_get overlaps the copies; per-item float()
+        # would cost a network round-trip each on remotely-attached TPUs)
+        mean_loss = float(np.mean(jax.device_get(losses)))
         self.logger.log(
             "epoch", epoch, "loss", mean_loss,
             "sampler_blocked", round(it.stats.total_blocked_dur, 4),
@@ -310,7 +312,7 @@ class Trainer:
                 losses.append(loss)
             jax.block_until_ready(self.state.params)
         self.stats.end_epoch()
-        mean_loss = float(np.mean([float(l) for l in losses]))
+        mean_loss = float(np.mean(jax.device_get(losses)))
         self.logger.log("epoch", epoch, "loss", mean_loss)
         return mean_loss
 
