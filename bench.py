@@ -49,7 +49,34 @@ def _await_h2d_credit(jax, min_rate_mbs=600.0, attempts=4, rest_s=180):
     return 0.0
 
 
+def _first_contact_watchdog(ok, deadline_s: float):
+    """Backend init on a remotely-attached TPU can block forever when the
+    tunnel is wedged (observed: device claim never granted). The GIL is
+    released during that native wait, so a daemon thread CAN still run —
+    turn an infinite hang into a fast diagnosable failure."""
+    import sys
+    import threading
+
+    if not ok.wait(deadline_s):
+        sys.stderr.write(
+            f"BENCH_ABORT: no device contact within {deadline_s:.0f}s — "
+            "the TPU tunnel/claim appears unresponsive; no measurement "
+            "was taken (rerun when the platform recovers)\n")
+        sys.stderr.flush()
+        os._exit(3)
+    return None  # placate linters; thread target exits via ok.wait
+
+
 def main():
+    import threading
+
+    contact_ok = threading.Event()
+    threading.Thread(
+        target=_first_contact_watchdog,
+        args=(contact_ok,
+              float(os.environ.get("BENCH_CONTACT_TIMEOUT_S", 600))),
+        daemon=True).start()
+
     import jax
 
     from salient_plusplus_tpu.config import RunConfig
@@ -57,6 +84,9 @@ def main():
     from salient_plusplus_tpu.train.loop import Trainer
     from salient_plusplus_tpu.train.pipeline import DeviceFeeder
 
+    jax.block_until_ready(
+        jax.device_put(np.zeros((8, 8), np.float32)))  # first contact
+    contact_ok.set()
     if jax.devices()[0].platform != "cpu" and \
             os.environ.get("BENCH_PREFLIGHT", "1") != "0":
         _await_h2d_credit(jax)
@@ -103,25 +133,18 @@ def main():
     # inside a measurement window)
     from salient_plusplus_tpu.sampling.cpp import BatchBuffers
 
+    scfg = trainer.train_sampler.cfg
     for spec in filter(None, [trainer.train_spec, trainer.train_tight]):
         bufs = BatchBuffers(spec)
-        if trainer.compress_dst:
-            bufs.attach_ddeg()
-        if trainer.global_msg0:
-            bufs.attach_gsrc()
-        if trainer.pack_wire:
-            bufs.attach_pack(trainer.train_sampler.pack_src_maxval(),
-                             node_caps=trainer.train_spec.node_caps,
-                             num_nodes=trainer.train_sampler.num_nodes)
+        # tight-bucket warm-up buffers pass the BIG spec's caps so the
+        # uint8 hi-byte presence (part of the compiled treedef) matches
+        # the worker buffers, which are always big-spec sized
+        bufs.attach_from_config(scfg, trainer.train_sampler.num_nodes,
+                                pack_node_caps=trainer.train_spec.node_caps)
         trainer.native.sample_into(
             bufs, np.sort(idx[: spec.seed_cap]), rng_seed=1,
             y_global=np.asarray(g.y, np.int32))
-        if trainer.compress_dst:
-            bufs.fill_ddeg()
-        if trainer.global_msg0:
-            bufs.fill_gsrc()
-        if trainer.pack_wire:
-            bufs.fill_pack()
+        bufs.finalize_from_config(scfg)
         warm = jax.device_put(
             jax.tree_util.tree_map(np.array, bufs.to_padded_batch()),
             trainer.device)

@@ -29,6 +29,28 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def multiprocess_intended(env) -> bool:
+    """True when the environment says this process is one of several:
+    manual JAX coordinator vars, a SLURM/MPI launcher with >1 tasks, or a
+    multi-host TPU worker list. (A genuinely metadata-server-only Cloud
+    TPU pod exposes TPU_WORKER_HOSTNAMES too, so this covers the
+    auto-detectable launchers jax.distributed itself knows about.)"""
+    if any(v in env for v in (
+            "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+            "JAX_NUM_PROCESSES", "JAX_PROCESS_ID")):
+        return True
+    for v in ("SLURM_NTASKS", "SLURM_STEP_NUM_TASKS",
+              "OMPI_COMM_WORLD_SIZE", "PMI_SIZE"):
+        try:
+            if int(env.get(v, "1")) > 1:
+                return True
+        except ValueError:
+            pass
+    hosts = [h for h in env.get("TPU_WORKER_HOSTNAMES", "").split(",")
+             if h.strip()]
+    return len(hosts) > 1
+
+
 def maybe_initialize_distributed() -> None:
     """Multi-host bootstrap (idempotent). On TPU pods the coordinator is
     discovered from the environment; single-process runs are a no-op.
@@ -36,8 +58,9 @@ def maybe_initialize_distributed() -> None:
     Must run BEFORE any other JAX call (even jax.process_count()
     initializes the backends, after which jax.distributed.initialize
     refuses to run). Fail-fast (SURVEY §5.3): when a multi-process run is
-    clearly intended (coordinator/process env vars present), a failed
-    bootstrap raises instead of silently degrading to single-process.
+    clearly intended (coordinator/launcher/worker-list env vars present —
+    :func:`multiprocess_intended`), a failed bootstrap raises instead of
+    silently degrading to single-process.
     """
     import os
 
@@ -45,9 +68,6 @@ def maybe_initialize_distributed() -> None:
 
     if getattr(_dist.global_state, "client", None) is not None:
         return  # already initialized
-    intended = any(v in os.environ for v in (
-        "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
-        "JAX_NUM_PROCESSES", "JAX_PROCESS_ID"))
-    if not intended:
+    if not multiprocess_intended(os.environ):
         return  # plain single-process run: leave jax alone
     jax.distributed.initialize()  # raises on a half-configured pod

@@ -74,6 +74,16 @@ def _ptr(a: np.ndarray, ty):
     return a.ctypes.data_as(ty)
 
 
+def pack_src_maxval(spec: BatchSpec, emit_gsrc: bool,
+                    num_nodes: int) -> tuple:
+    """Per-hop EXCLUSIVE bound of edge-src values (attach_pack): the
+    grown-frontier cap, or num_nodes for the gsrc (global-id) hop."""
+    L = spec.num_hops
+    return tuple(
+        num_nodes if (emit_gsrc and h == L - 1) else spec.node_caps[h + 1]
+        for h in range(L))
+
+
 class BatchBuffers:
     """Preallocated padded output buffers for one in-flight batch."""
 
@@ -176,8 +186,11 @@ class BatchBuffers:
         spec = self.spec
         L = spec.num_hops
         node_caps = tuple(node_caps or spec.node_caps)
+        # src_maxval bounds are EXCLUSIVE (max shipped value is bound-1);
+        # mirror pads are INCLUSIVE (sptpu_mirror_by_src pads msrc with the
+        # cap itself, sampler.cpp), so node_caps must fit 24 bits strictly
         assert all(v <= 2**24 for v in src_maxval), src_maxval
-        assert all(v <= 2**24 for v in node_caps), node_caps
+        assert all(v < 2**24 for v in node_caps), node_caps
         total_e = int(self.edge_offsets[-1])
         self.src_lo = np.zeros(total_e, np.uint16)
         self.src_hi = [
@@ -188,11 +201,12 @@ class BatchBuffers:
         mir_len = int(self.mirror_src.shape[0])
         self.msrc_lo = np.zeros(mir_len, np.uint16)
         self.mdst_lo = np.zeros(mir_len, np.uint16)
-        # mirror values are frontier-local: msrc < node_caps[h+1],
-        # mdst < node_caps[h] (mirrors exist for hops 0..L-2 only)
+        # mirror values are frontier-local: msrc <= node_caps[h+1] (the
+        # PAD value IS the cap — inclusive, hence >=), mdst < node_caps[h]
+        # (its pad is 0; mirrors exist for hops 0..L-2 only)
         self.msrc_hi = [
             (np.zeros(spec.edge_caps[h], np.uint8)
-             if node_caps[h + 1] > 2**16 else None)
+             if node_caps[h + 1] >= 2**16 else None)
             for h in range(L - 1)
         ]
         self.mdst_hi = [
@@ -231,6 +245,54 @@ class BatchBuffers:
                            self.edge_offsets)
             self._pack_one(self.mirror_dst, self.mdst_lo, self.mdst_hi,
                            self.edge_offsets)
+
+    def attach_from_config(self, cfg, num_nodes: int,
+                           pack_node_caps: tuple = None):
+        """Attach every auxiliary buffer a ``FastSamplerConfig`` calls for
+        (cold tier / gsrc / ddeg / wire-pack) — the single source of truth
+        for which features a buffer set carries; every producer
+        (FastSamplerIter pool, FastPreSampler, bench warm-up) goes through
+        here so the attach set can't drift between them.
+
+        ``pack_node_caps`` overrides the mirror-bound caps for buffers of a
+        spec other than the one that sets the compiled treedef (the bench's
+        tight-bucket warm-up passes the BIG spec's caps)."""
+        if cfg.cold_owner_mode:
+            self.attach_cold_requests(cfg.cold_world, cfg.cold_r_cap)
+        elif cfg.hot_cutoff is not None or cfg.cold_part_size is not None:
+            self.attach_cold(cfg.cold_cap, cfg.x_cold.shape[1],
+                             cfg.x_cold.dtype)
+        if cfg.emit_gsrc:
+            self.attach_gsrc()
+        if cfg.compress_dst:
+            self.attach_ddeg()
+        if cfg.pack_wire:
+            self.attach_pack(
+                pack_src_maxval(cfg.spec, cfg.emit_gsrc, num_nodes),
+                node_caps=pack_node_caps, num_nodes=num_nodes)
+
+    def finalize_from_config(self, cfg) -> int:
+        """Post-:meth:`NativeSampler.sample_into` fills, in the
+        load-bearing order: cold classification first (reads raw local
+        ids), then ddeg, then the gsrc in-place src rewrite, then packing
+        (which must see the rewritten srcs). Returns the number of dropped
+        (over-cold-budget) rows, which callers must surface in stats."""
+        dropped = 0
+        if cfg.cold_owner_mode:
+            dropped = self.fill_cold_requests(cfg.cold_part_size,
+                                              cfg.cold_hot_size)
+        elif cfg.cold_part_size is not None:
+            dropped = self.fill_cold_partitioned(
+                cfg.x_cold, cfg.cold_part_size, cfg.cold_hot_size)
+        elif cfg.hot_cutoff is not None:
+            dropped = self.fill_cold(cfg.x_cold, cfg.hot_cutoff)
+        if cfg.compress_dst:
+            self.fill_ddeg()
+        if cfg.emit_gsrc:
+            self.fill_gsrc()
+        if cfg.pack_wire:
+            self.fill_pack()
+        return dropped
 
     def attach_cold(self, cold_cap: int, num_features: int, dtype):
         self.cold_rows = np.zeros((cold_cap, num_features), dtype)

@@ -157,18 +157,7 @@ class FastSamplerIter:
                    max(2, self.num_batches + 1))
         for _ in range(max(pool, 1)):
             bufs = BatchBuffers(cfg.spec)
-            if cfg.cold_owner_mode:
-                bufs.attach_cold_requests(cfg.cold_world, cfg.cold_r_cap)
-            elif cfg.hot_cutoff is not None or cfg.cold_part_size is not None:
-                bufs.attach_cold(cfg.cold_cap, cfg.x_cold.shape[1],
-                                 cfg.x_cold.dtype)
-            if cfg.emit_gsrc:
-                bufs.attach_gsrc()
-            if cfg.compress_dst:
-                bufs.attach_ddeg()
-            if cfg.pack_wire:
-                bufs.attach_pack(self.sampler.pack_src_maxval(),
-                                 num_nodes=self.sampler.num_nodes)
+            bufs.attach_from_config(cfg, self.sampler.num_nodes)
             self._free.put(bufs)
         for bno, seeds in enumerate(self.batches):
             self._work.put(bno)
@@ -196,26 +185,7 @@ class FastSamplerIter:
                     rng_seed=batch_seed(cfg.base_seed, self.epoch, bno),
                     y_global=self.sampler.y,
                 )
-                if cfg.cold_owner_mode:
-                    dropped = bufs.fill_cold_requests(
-                        cfg.cold_part_size, cfg.cold_hot_size)
-                    if dropped:
-                        self.stats.dropped_cold += dropped
-                elif cfg.cold_part_size is not None:
-                    dropped = bufs.fill_cold_partitioned(
-                        cfg.x_cold, cfg.cold_part_size, cfg.cold_hot_size)
-                    if dropped:
-                        self.stats.dropped_cold += dropped
-                elif cfg.hot_cutoff is not None:
-                    dropped = bufs.fill_cold(cfg.x_cold, cfg.hot_cutoff)
-                    if dropped:
-                        self.stats.dropped_cold += dropped
-                if cfg.compress_dst:
-                    bufs.fill_ddeg()
-                if cfg.emit_gsrc:
-                    bufs.fill_gsrc()
-                if cfg.pack_wire:
-                    bufs.fill_pack()
+                self.stats.dropped_cold += bufs.finalize_from_config(cfg)
                 # 2-bucket padding recovery: mark the batch for tight-spec
                 # prefix VIEWS (to_padded_batch(bucket)) iff it fits. A pure
                 # function of the batch's measured sizes — bucket choice is
@@ -296,6 +266,7 @@ class FastPreSampler:
 
     def __init__(self, sampler: "FastSampler"):
         self.sampler = sampler
+        self.dropped_cold = 0  # over-cold-budget rows across the epoch
 
     def presample(self, epoch: int):
         cfg = self.sampler.cfg
@@ -307,41 +278,17 @@ class FastPreSampler:
 
         def work(bno):
             bufs = BatchBuffers(cfg.spec)
-            if cfg.cold_owner_mode:
-                bufs.attach_cold_requests(cfg.cold_world, cfg.cold_r_cap)
-            elif cfg.hot_cutoff is not None or cfg.cold_part_size is not None:
-                bufs.attach_cold(cfg.cold_cap, cfg.x_cold.shape[1],
-                                 cfg.x_cold.dtype)
-            if cfg.emit_gsrc:
-                bufs.attach_gsrc()
-            if cfg.compress_dst:
-                bufs.attach_ddeg()
-            if cfg.pack_wire:
-                bufs.attach_pack(self.sampler.pack_src_maxval(),
-                                 num_nodes=self.sampler.num_nodes)
+            bufs.attach_from_config(cfg, self.sampler.num_nodes)
             self.sampler.native.sample_into(
                 bufs, batches[bno],
                 rng_seed=batch_seed(cfg.base_seed, epoch, bno),
                 y_global=self.sampler.y)
-            if cfg.cold_owner_mode:
-                bufs.fill_cold_requests(cfg.cold_part_size,
-                                        cfg.cold_hot_size)
-            elif cfg.cold_part_size is not None:
-                bufs.fill_cold_partitioned(cfg.x_cold, cfg.cold_part_size,
-                                           cfg.cold_hot_size)
-            elif cfg.hot_cutoff is not None:
-                bufs.fill_cold(cfg.x_cold, cfg.hot_cutoff)
-            if cfg.compress_dst:
-                bufs.fill_ddeg()
-            if cfg.emit_gsrc:
-                bufs.fill_gsrc()
-            if cfg.pack_wire:
-                bufs.fill_pack()
-            return bno, bufs
+            return bno, bufs, bufs.finalize_from_config(cfg)
 
         with cf.ThreadPoolExecutor(max(1, cfg.num_workers)) as ex:
-            for bno, bufs in ex.map(work, range(len(batches))):
+            for bno, bufs, dropped in ex.map(work, range(len(batches))):
                 out[bno] = bufs
+                self.dropped_cold += dropped
         return out
 
     def __iter__(self):
@@ -369,14 +316,11 @@ class FastSampler:
         return self.native.rowptr.shape[0] - 1
 
     def pack_src_maxval(self):
-        """Per-hop exclusive bound of edge-src values (attach_pack): the
-        grown-frontier cap, or num_nodes for the gsrc (global-id) hop."""
-        spec = self.cfg.spec
-        L = spec.num_hops
-        V = self.native.rowptr.shape[0] - 1
-        return tuple(
-            V if (self.cfg.emit_gsrc and h == L - 1) else spec.node_caps[h + 1]
-            for h in range(L))
+        """Per-hop exclusive bound of edge-src values (attach_pack)."""
+        from .cpp import pack_src_maxval
+
+        return pack_src_maxval(self.cfg.spec, self.cfg.emit_gsrc,
+                               self.num_nodes)
 
     def set_epoch(self, idx: np.ndarray, epoch: int):
         self.idx = idx

@@ -280,9 +280,15 @@ class DistributedTrainer:
         probes = max(4, self.cfg.calibration_batches // 2)
         worst = 128
         federated = self.cfg.load_balance_scheme == "federated"
-        for d in range(self.world):
-            pool = (self.pg.split_idx_parts[d][split] if federated
-                    else self.pg.split_idx[split])
+        # federated pools differ per partition → probe each; with a shared
+        # pool, ONE sampled batch yields every destination's view (the
+        # per-d parts are just masks), so sample probes batches, not
+        # world*probes — calibration cost matters at eval-spec frontier
+        # sizes and reruns after every overflow epoch
+        pools = ([self.pg.split_idx_parts[d][split]
+                  for d in range(self.world)] if federated
+                 else [self.pg.split_idx[split]])
+        for pi, pool in enumerate(pools):
             if len(pool) == 0:
                 continue
             for i in range(probes):
@@ -293,16 +299,19 @@ class DistributedTrainer:
                 ids = b.n_id[:n]
                 owner = np.searchsorted(self.part_offsets[1:], ids,
                                         side="right")
-                remote = owner != d
-                if self.hot_size is not None:
-                    # cold rows never ride the exchange
-                    remote &= (ids % self.part_size) < self.hot_size
-                if cache_ids is not None:
-                    pos = np.searchsorted(cache_ids[d], ids)
-                    pos = np.clip(pos, 0, len(cache_ids[d]) - 1)
-                    remote &= cache_ids[d][pos] != ids
-                cnt = np.bincount(owner[remote], minlength=self.world)
-                worst = max(worst, int(cnt.max()))
+                # cold rows never ride the exchange
+                hot = ((ids % self.part_size) < self.hot_size
+                       if self.hot_size is not None else None)
+                for d in ([pi] if federated else range(self.world)):
+                    remote = owner != d
+                    if hot is not None:
+                        remote &= hot
+                    if cache_ids is not None:
+                        pos = np.searchsorted(cache_ids[d], ids)
+                        pos = np.clip(pos, 0, len(cache_ids[d]) - 1)
+                        remote &= cache_ids[d][pos] != ids
+                    cnt = np.bincount(owner[remote], minlength=self.world)
+                    worst = max(worst, int(cnt.max()))
         return int(-(-int(worst * self.cfg.spec_safety) // 128) * 128)
 
     def _calibrate_cold_r_cap(self, spec, pool=None,

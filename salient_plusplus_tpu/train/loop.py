@@ -143,6 +143,9 @@ class Trainer:
             self.train_tight = None
         # (split, fanouts) -> (spec, tight-or-None)
         self.eval_specs: Dict[tuple, tuple] = {}
+        # per-split cold-cap floor: grown after a dropping evaluate() (the
+        # per-call probe calibration alone can recur the same shortfall)
+        self.eval_cold_floor: Dict[tuple, int] = {}
 
         # hot/cold feature split (gpu_percent analog, base.py:107-116):
         # the hot prefix lives in HBM; the cold tail stays in host RAM and
@@ -302,8 +305,9 @@ class Trainer:
         from ..sampling.sampler import FastPreSampler
 
         losses = []
+        pre = FastPreSampler(self.train_sampler)
         with self.stats.region("train_epoch"):
-            for bufs in FastPreSampler(self.train_sampler).presample(epoch):
+            for bufs in pre.presample(epoch):
                 batch = jax.device_put(
                     jax.tree_util.tree_map(np.array, bufs.to_padded_batch()),
                     self.device)
@@ -312,6 +316,14 @@ class Trainer:
                 losses.append(loss)
             jax.block_until_ready(self.state.params)
         self.stats.end_epoch()
+        if pre.dropped_cold:
+            scfg = self.train_sampler.cfg
+            self.logger.log("WARNING_COLD_DROPPED", epoch,
+                            pre.dropped_cold, "cold_cap", scfg.cold_cap)
+            scfg.cold_cap = max(
+                self._calibrate_cold_cap(self.graph.split_idx["train"]),
+                int(-(-int(scfg.cold_cap * 1.25) // 128) * 128))
+            self.logger.log("COLD_CAP_GROWN", scfg.cold_cap)
         mean_loss = float(np.mean(jax.device_get(losses)))
         self.logger.log("epoch", epoch, "loss", mean_loss)
         return mean_loss
@@ -332,8 +344,9 @@ class Trainer:
             self.eval_specs[key] = out if isinstance(out, tuple) \
                 else (out, None)
         spec, tight = self.eval_specs[key]
-        cold_cap = (self._calibrate_cold_cap(self.graph.split_idx[split],
-                                             spec)
+        cold_cap = (max(self._calibrate_cold_cap(self.graph.split_idx[split],
+                                                 spec),
+                        self.eval_cold_floor.get(key, 0))
                     if self.hot_cutoff is not None else 0)
         # shuffle eval seeds (accuracy is order-independent): sorted split
         # slices would otherwise form degree/VIP-correlated batches that
@@ -371,18 +384,30 @@ class Trainer:
         pairs = jax.device_get(acc)
         correct = sum(int(c) for c, _ in pairs)
         total = sum(int(t) for _, t in pairs)
+        fanouts = (self.cfg.final_test_fanouts if split == "test"
+                   else self.cfg.batchwise_test_fanouts)
+        key = (split, tuple(fanouts))
         if it.stats.dropped_nodes or it.stats.dropped_edges:
             self.logger.log("EVAL_SAMPLER_OVERFLOW", split,
                             it.stats.dropped_nodes, it.stats.dropped_edges)
             # grow the cached eval spec so the NEXT evaluate() of this
             # split stops truncating (this split's reported accuracy was
             # computed on zero-filled rows — the log line flags it)
-            fanouts = (self.cfg.final_test_fanouts if split == "test"
-                       else self.cfg.batchwise_test_fanouts)
-            key = (split, tuple(fanouts))
             spec, tight = self.eval_specs[key]
             self.eval_specs[key] = (spec.grown(), tight)
             self.logger.log("EVAL_SPEC_GROWN", split)
+        if it.stats.dropped_cold:
+            # over-cold-budget rows zero-filled — raise this split's
+            # persistent floor (the per-call probe already underestimated
+            # once, so reprobing alone could recur the shortfall)
+            cap = sampler.cfg.cold_cap
+            self.logger.log("EVAL_COLD_DROPPED", split,
+                            it.stats.dropped_cold, "cold_cap", cap)
+            self.eval_cold_floor[key] = max(
+                self.eval_cold_floor.get(key, 0),
+                int(-(-int(cap * 1.25) // 128) * 128))
+            self.logger.log("EVAL_COLD_CAP_GROWN", split,
+                            self.eval_cold_floor[key])
         return correct / max(total, 1)
 
     def run_trial(self, trial: int = 0,

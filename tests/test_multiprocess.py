@@ -94,3 +94,20 @@ def test_two_process_cluster_matches_single_process(tmp_path):
     np.testing.assert_allclose(mp["loss0"], m0["loss"], rtol=1e-5)
     np.testing.assert_allclose(mp["loss1"], m1["loss"], rtol=1e-5)
     np.testing.assert_allclose(mp["acc"], acc, atol=1e-6)
+
+
+def test_multiprocess_intended_heuristic():
+    """Auto-detectable multi-host launchers (SLURM/MPI/multi-host TPU
+    worker lists) must trip the bootstrap, while single-process and
+    single-host-TPU (TPU_WORKER_HOSTNAMES=localhost) runs must not."""
+    from salient_plusplus_tpu.parallel.mesh import multiprocess_intended
+
+    assert not multiprocess_intended({})
+    assert not multiprocess_intended({"TPU_WORKER_HOSTNAMES": "localhost"})
+    assert multiprocess_intended({"TPU_WORKER_HOSTNAMES": "h1,h2"})
+    assert multiprocess_intended({"SLURM_NTASKS": "4"})
+    assert not multiprocess_intended({"SLURM_NTASKS": "1"})
+    assert not multiprocess_intended({"SLURM_NTASKS": "garbage"})
+    assert multiprocess_intended({"OMPI_COMM_WORLD_SIZE": "2"})
+    assert multiprocess_intended({"JAX_COORDINATOR_ADDRESS": "10.0.0.1:1"})
+    assert multiprocess_intended({"JAX_PROCESS_ID": "0"})

@@ -93,6 +93,40 @@ def test_mirror_hi_byte_roundtrip():
     np.testing.assert_array_equal(bufs.n_id, np.asarray(dec.n_id))
 
 
+def test_mirror_pad_at_pow2_boundary():
+    """Node cap exactly 2^16: the msrc PAD value equals the cap itself
+    (sptpu_mirror_by_src pads inclusively), which needs the 17th bit even
+    though every real value fits 16. Regression: an exclusive-bound test
+    (> 2^16) dropped the hi byte here and pads decoded to 0 — landing pad
+    edges in segment 0 of the backward aggregation."""
+    from salient_plusplus_tpu.sampling.cpp import BatchBuffers
+
+    cap = 2**16
+    spec = BatchSpec(fanouts=(2, 2), seed_cap=128,
+                     node_caps=(128, cap, cap + 128),
+                     edge_caps=(512, 512))
+    bufs = BatchBuffers(spec)
+    rng = np.random.default_rng(1)
+    # per-hop exclusive src bounds: hop 0 < node_caps[1], hop 1 < node_caps[2]
+    bufs.edge_src[:512] = rng.integers(0, cap, 512)
+    bufs.edge_src[512:] = rng.integers(0, cap + 128, 512)
+    bufs.mirror_src[:400] = rng.integers(0, cap, 400)
+    bufs.mirror_src[400:512] = cap          # pad slots: msrc == in_cap
+    bufs.mirror_dst[:] = rng.integers(0, 128, bufs.mirror_dst.shape)
+    bufs.attach_pack(src_maxval=(cap, cap + 128), num_nodes=cap + 1000)
+    bufs.fill_pack()
+    b = bufs.to_padded_batch()
+    assert b.edges[1].msrc_hi is not None   # pad value needs bit 16
+    dec = decode_batch(b)
+    np.testing.assert_array_equal(
+        bufs.mirror_src[:512], np.asarray(dec.edges[1].msrc))
+    assert int(np.asarray(dec.edges[1].msrc)[-1]) == cap  # pads survive
+    np.testing.assert_array_equal(
+        bufs.mirror_dst[:512], np.asarray(dec.edges[1].mdst))
+    np.testing.assert_array_equal(
+        bufs.edge_src[:512], np.asarray(dec.edges[1].src))
+
+
 def test_train_losses_bit_equal_with_packing():
     from salient_plusplus_tpu.train.loop import Trainer
 
