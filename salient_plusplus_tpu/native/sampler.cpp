@@ -303,19 +303,20 @@ int32_t sptpu_sample_batch(
   return 0;
 }
 
-// Multi-constraint k-way graph partitioning (native edition of the
-// METIS-replacement heuristic; reference capability:
-// partitioners/partition.py:67-81 four-constraint METIS with ubvec).
-// Seeded multi-source BFS growth under per-constraint capacities,
-// followed by capacity-safe label-propagation refinement. O(passes * E);
-// runs at millions of edges/s where the pure-Python edition took minutes
-// for 50k nodes.
-void sptpu_partition(const int64_t* rowptr, const int32_t* col, int64_t V,
-                     int32_t k, const double* weights /* V x nw */,
-                     int32_t nw, const double* caps /* nw */, uint64_t seed,
-                     int32_t refine_passes, int32_t* labels /* out V */) {
-  Rng rng(seed ? seed : 1);
-  std::vector<double> loads((size_t)k * nw, 0.0);
+}  // extern "C" — pause: partitioner internals are plain C++ below
+
+namespace {
+
+// ---- multi-constraint k-way partitioning internals ----------------------
+// (METIS-replacement; reference capability: partitioners/partition.py:67-81
+// four-constraint METIS with ubvec.)
+
+// Seeded multi-source BFS growth under per-constraint capacities.
+void grow_init(const int64_t* rowptr, const int32_t* col, int64_t V,
+               int32_t k, const double* weights, int32_t nw,
+               const double* caps, Rng& rng, int32_t* labels,
+               std::vector<double>& loads) {
+  loads.assign((size_t)k * nw, 0.0);
   std::vector<std::vector<int32_t>> frontier(k);
   std::vector<size_t> head(k, 0);
   std::fill(labels, labels + V, -1);
@@ -334,7 +335,7 @@ void sptpu_partition(const int64_t* rowptr, const int32_t* col, int64_t V,
     frontier[p].push_back((int32_t)v);
   };
 
-  for (int32_t p = 0; p < k; ++p) {  // distinct random seeds
+  for (int32_t p = 0; p < k && p < V; ++p) {  // distinct random seeds
     int64_t s;
     do {
       s = (int64_t)(rng.next() % (uint64_t)V);
@@ -342,7 +343,7 @@ void sptpu_partition(const int64_t* rowptr, const int32_t* col, int64_t V,
     place(p, s);
   }
 
-  int64_t unassigned = V - k;
+  int64_t unassigned = V - (k < V ? k : V);
   int64_t scan = 0;  // rotating cursor for disconnected remainders
   while (unassigned > 0) {
     bool progressed = false;
@@ -390,12 +391,19 @@ void sptpu_partition(const int64_t* rowptr, const int32_t* col, int64_t V,
       --unassigned;
     }
   }
+}
 
-  // label-propagation refinement (capacity-safe majority moves)
+// Capacity-safe label-propagation refinement; moves a vertex to the
+// partition holding the largest (edge-weighted) share of its neighbors.
+// ewt == nullptr means unit edge weights (the finest level).
+void lp_refine(const int64_t* rowptr, const int32_t* col, const float* ewt,
+               int64_t V, int32_t k, const double* weights, int32_t nw,
+               const double* caps, Rng& rng, int32_t passes,
+               int32_t* labels, std::vector<double>& loads) {
   std::vector<int32_t> order(V);
   for (int64_t i = 0; i < V; ++i) order[i] = (int32_t)i;
-  std::vector<int32_t> cnt(k);
-  for (int32_t pass = 0; pass < refine_passes; ++pass) {
+  std::vector<double> cnt(k);
+  for (int32_t pass = 0; pass < passes; ++pass) {
     for (int64_t i = V - 1; i > 0; --i) {  // Fisher-Yates
       const int64_t j = (int64_t)(rng.next() % (uint64_t)(i + 1));
       std::swap(order[i], order[j]);
@@ -405,8 +413,9 @@ void sptpu_partition(const int64_t* rowptr, const int32_t* col, int64_t V,
       const int32_t u = order[i];
       const int64_t r0 = rowptr[u], r1 = rowptr[u + 1];
       if (r0 == r1) continue;
-      std::fill(cnt.begin(), cnt.end(), 0);
-      for (int64_t e = r0; e < r1; ++e) ++cnt[labels[col[e]]];
+      std::fill(cnt.begin(), cnt.end(), 0.0);
+      for (int64_t e = r0; e < r1; ++e)
+        cnt[labels[col[e]]] += ewt ? (double)ewt[e] : 1.0;
       const int32_t cur = labels[u];
       int32_t best = cur;
       for (int32_t p = 0; p < k; ++p)
@@ -427,6 +436,295 @@ void sptpu_partition(const int64_t* rowptr, const int32_t* col, int64_t V,
     }
     if (moved < V / 1000) break;
   }
+}
+
+// Edge-weighted cut of a labeling (each undirected edge counted twice —
+// only comparisons matter).
+double weighted_cut(const int64_t* rowptr, const int32_t* col,
+                    const float* ewt, int64_t V, const int32_t* labels) {
+  double cut = 0.0;
+  for (int64_t u = 0; u < V; ++u)
+    for (int64_t e = rowptr[u]; e < rowptr[u + 1]; ++e)
+      if (labels[col[e]] != labels[u]) cut += ewt ? (double)ewt[e] : 1.0;
+  return cut;
+}
+
+// Weighted greedy graph growing (GGGP-style) — the coarsest-level initial
+// partition. The coarse graph is dense and small-diameter, so BFS order
+// carries no locality; the community structure lives in the ACCUMULATED
+// EDGE WEIGHTS instead. Partitions take turns absorbing the unassigned
+// vertex with the heaviest connection to their current set (capacity
+// permitting). O(V^2 + E) — only run where V <= the coarsening target.
+void greedy_grow_w(const int64_t* rowptr, const int32_t* col,
+                   const float* ewt, int64_t V, int32_t k,
+                   const double* weights, int32_t nw, const double* caps,
+                   Rng& rng, int32_t* labels, std::vector<double>& loads) {
+  loads.assign((size_t)k * nw, 0.0);
+  std::fill(labels, labels + V, -1);
+  std::vector<double> gain((size_t)k * V, 0.0);
+
+  const auto fits = [&](int32_t p, int64_t v) {
+    for (int32_t c = 0; c < nw; ++c) {
+      if (loads[(size_t)p * nw + c] + weights[(size_t)v * nw + c] > caps[c])
+        return false;
+    }
+    return true;
+  };
+  const auto place = [&](int32_t p, int64_t v) {
+    labels[v] = p;
+    for (int32_t c = 0; c < nw; ++c)
+      loads[(size_t)p * nw + c] += weights[(size_t)v * nw + c];
+    for (int64_t e = rowptr[v]; e < rowptr[v + 1]; ++e)
+      gain[(size_t)p * V + col[e]] += ewt ? (double)ewt[e] : 1.0;
+  };
+
+  for (int32_t p = 0; p < k && p < V; ++p) {
+    int64_t s;
+    do {
+      s = (int64_t)(rng.next() % (uint64_t)V);
+    } while (labels[s] != -1);
+    place(p, s);
+  }
+
+  int64_t unassigned = V - (k < V ? k : V);
+  while (unassigned > 0) {
+    bool progressed = false;
+    for (int32_t p = 0; p < k && unassigned > 0; ++p) {
+      const double* gp = &gain[(size_t)p * V];
+      int64_t best = -1;
+      double bg = -1.0;
+      for (int64_t v = 0; v < V; ++v)
+        if (labels[v] == -1 && gp[v] > bg && fits(p, v)) {
+          bg = gp[v];
+          best = v;
+        }
+      if (best < 0) continue;
+      place(p, best);
+      --unassigned;
+      progressed = true;
+    }
+    if (!progressed) {  // nothing fits anywhere: force on last constraint
+      int64_t v = 0;
+      while (v < V && labels[v] != -1) ++v;
+      if (v >= V) break;
+      int32_t best = 0;
+      for (int32_t p = 1; p < k; ++p)
+        if (loads[(size_t)p * nw + (nw - 1)]
+            < loads[(size_t)best * nw + (nw - 1)]) best = p;
+      place(best, v);
+      --unassigned;
+    }
+  }
+}
+
+// One coarsening level: CSR + accumulated edge weights + summed vertex
+// weights + the finer-level id -> this level's id map.
+struct Level {
+  std::vector<int64_t> rowptr;
+  std::vector<int32_t> col;
+  std::vector<float> ewt;
+  std::vector<double> vw;     // V * nw
+  std::vector<int32_t> cmap;  // finer V -> coarse id
+  int64_t V = 0;
+};
+
+// Heavy-edge matching + coarse-graph build (one level). Pairs each
+// unmatched vertex with its heaviest unmatched neighbor whose combined
+// vertex weight stays under maxvw (keeps coarse vertices placeable).
+// Returns the coarse vertex count.
+int64_t coarsen_once(const int64_t* rowptr, const int32_t* col,
+                     const float* ewt, int64_t V, const double* vw,
+                     int32_t nw, const double* maxvw, Rng& rng, Level& out) {
+  std::vector<int32_t> order(V);
+  for (int64_t i = 0; i < V; ++i) order[i] = (int32_t)i;
+  for (int64_t i = V - 1; i > 0; --i) {
+    const int64_t j = (int64_t)(rng.next() % (uint64_t)(i + 1));
+    std::swap(order[i], order[j]);
+  }
+  std::vector<int32_t> match(V, -1);
+  for (int64_t i = 0; i < V; ++i) {
+    const int32_t u = order[i];
+    if (match[u] != -1) continue;
+    int32_t best = -1;
+    float bw = 0.0f;
+    for (int64_t e = rowptr[u]; e < rowptr[u + 1]; ++e) {
+      const int32_t v = col[e];
+      if (v == u || match[v] != -1) continue;
+      const float w = ewt ? ewt[e] : 1.0f;
+      if (w <= bw) continue;
+      bool ok = true;
+      for (int32_t c = 0; c < nw; ++c) {
+        if (vw[(size_t)u * nw + c] + vw[(size_t)v * nw + c] > maxvw[c]) {
+          ok = false;
+          break;
+        }
+      }
+      if (ok) { bw = w; best = v; }
+    }
+    match[u] = best >= 0 ? best : u;
+    if (best >= 0) match[best] = u;
+  }
+
+  // coarse ids in ascending fine order (deterministic)
+  out.cmap.assign(V, -1);
+  int64_t cV = 0;
+  for (int64_t u = 0; u < V; ++u) {
+    if (out.cmap[u] != -1) continue;
+    out.cmap[u] = (int32_t)cV;
+    out.cmap[match[u]] = (int32_t)cV;
+    ++cV;
+  }
+
+  out.vw.assign((size_t)cV * nw, 0.0);
+  for (int64_t u = 0; u < V; ++u)
+    for (int32_t c = 0; c < nw; ++c)
+      out.vw[(size_t)out.cmap[u] * nw + c] += vw[(size_t)u * nw + c];
+
+  // members[2c], members[2c+1] (-1 when singleton)
+  std::vector<int32_t> members(2 * cV, -1);
+  for (int64_t u = 0; u < V; ++u) {
+    const int32_t c = out.cmap[u];
+    if (members[2 * c] == -1) members[2 * c] = (int32_t)u;
+    else members[2 * c + 1] = (int32_t)u;
+  }
+
+  // accumulate parallel edges into coarse adjacency (stamped scatter)
+  out.rowptr.assign(cV + 1, 0);
+  out.col.clear();
+  out.ewt.clear();
+  std::vector<uint32_t> stamp(cV, 0);
+  std::vector<double> acc(cV, 0.0);
+  std::vector<int32_t> touched;
+  uint32_t gen = 0;
+  for (int64_t c = 0; c < cV; ++c) {
+    ++gen;
+    touched.clear();
+    for (int32_t m = 0; m < 2; ++m) {
+      const int32_t u = members[2 * c + m];
+      if (u < 0) break;
+      for (int64_t e = rowptr[u]; e < rowptr[u + 1]; ++e) {
+        const int32_t cn = out.cmap[col[e]];
+        if (cn == (int32_t)c) continue;  // merged/self edges vanish
+        if (stamp[cn] != gen) {
+          stamp[cn] = gen;
+          acc[cn] = 0.0;
+          touched.push_back(cn);
+        }
+        acc[cn] += ewt ? (double)ewt[e] : 1.0;
+      }
+    }
+    for (const int32_t cn : touched) {
+      out.col.push_back(cn);
+      out.ewt.push_back((float)acc[cn]);
+    }
+    out.rowptr[c + 1] = (int64_t)out.col.size();
+  }
+  out.V = cV;
+  return cV;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Single-level edition (BFS growth + label-prop refinement); kept as the
+// coarsest-level initializer and for small graphs. O(passes * E).
+void sptpu_partition(const int64_t* rowptr, const int32_t* col, int64_t V,
+                     int32_t k, const double* weights /* V x nw */,
+                     int32_t nw, const double* caps /* nw */, uint64_t seed,
+                     int32_t refine_passes, int32_t* labels /* out V */) {
+  Rng rng(seed ? seed : 1);
+  std::vector<double> loads;
+  grow_init(rowptr, col, V, k, weights, nw, caps, rng, labels, loads);
+  lp_refine(rowptr, col, nullptr, V, k, weights, nw, caps, rng,
+            refine_passes, labels, loads);
+}
+
+// Multilevel edition (the METIS recipe in miniature): heavy-edge-matching
+// coarsening to <= `coarsest` vertices, BFS+LP initial partition there,
+// then edge-weighted capacity-safe refinement at every uncoarsening level.
+// Cut quality approaches multilevel partitioners' because refinement at
+// the coarse levels moves whole regions, not single vertices.
+void sptpu_partition_ml(const int64_t* rowptr, const int32_t* col,
+                        int64_t V, int32_t k,
+                        const double* weights /* V x nw */, int32_t nw,
+                        const double* caps /* nw */, uint64_t seed,
+                        int32_t refine_passes, int64_t coarsest,
+                        int32_t* labels /* out V */) {
+  Rng rng(seed ? seed : 1);
+  // any coarse vertex must stay far below one partition's capacity
+  std::vector<double> maxvw(nw);
+  for (int32_t c = 0; c < nw; ++c) maxvw[c] = caps[c] / 8.0;
+
+  std::vector<Level> levels;
+  const int64_t target = std::max<int64_t>(coarsest, (int64_t)k * 2);
+  const int64_t* rp = rowptr;
+  const int32_t* cl = col;
+  const float* ew = nullptr;
+  const double* vwp = weights;
+  int64_t curV = V;
+  while (curV > target) {
+    levels.emplace_back();
+    const int64_t cV = coarsen_once(rp, cl, ew, curV, vwp, nw,
+                                    maxvw.data(), rng, levels.back());
+    if (cV > (int64_t)(0.95 * (double)curV)) {  // matching stalled
+      levels.pop_back();
+      break;
+    }
+    const Level& L = levels.back();
+    rp = L.rowptr.data();
+    cl = L.col.data();
+    ew = L.ewt.data();
+    vwp = L.vw.data();
+    curV = cV;
+  }
+
+  // initial partition at the coarsest level: weighted greedy growing with
+  // random restarts (METIS runs several initial attempts too), each
+  // LP-polished; keep the lightest weighted cut
+  std::vector<int32_t> clabels(curV), attempt(curV);
+  std::vector<double> loads, best_loads;
+  double best_cut = 1e300;
+  const int32_t attempts = 4;
+  for (int32_t a = 0; a < attempts; ++a) {
+    greedy_grow_w(rp, cl, ew, curV, k, vwp, nw, caps, rng, attempt.data(),
+                  loads);
+    lp_refine(rp, cl, ew, curV, k, vwp, nw, caps, rng, refine_passes + 4,
+              attempt.data(), loads);
+    const double cut = weighted_cut(rp, cl, ew, curV, attempt.data());
+    if (cut < best_cut) {
+      best_cut = cut;
+      clabels = attempt;
+      best_loads = loads;
+    }
+  }
+  loads = best_loads;
+
+  for (int64_t li = (int64_t)levels.size() - 1; li >= 0; --li) {
+    const Level& L = levels[li];
+    const int64_t* frp;
+    const int32_t* fcl;
+    const float* few;
+    const double* fvw;
+    int64_t fV;
+    if (li == 0) {
+      frp = rowptr; fcl = col; few = nullptr; fvw = weights; fV = V;
+    } else {
+      const Level& P = levels[li - 1];
+      frp = P.rowptr.data(); fcl = P.col.data(); few = P.ewt.data();
+      fvw = P.vw.data(); fV = P.V;
+    }
+    std::vector<int32_t> flabels(fV);
+    for (int64_t u = 0; u < fV; ++u) flabels[u] = clabels[L.cmap[u]];
+    loads.assign((size_t)k * nw, 0.0);
+    for (int64_t u = 0; u < fV; ++u)
+      for (int32_t c = 0; c < nw; ++c)
+        loads[(size_t)flabels[u] * nw + c] += fvw[(size_t)u * nw + c];
+    lp_refine(frp, fcl, few, fV, k, fvw, nw, caps, rng, refine_passes,
+              flabels.data(), loads);
+    clabels.swap(flabels);
+  }
+  std::copy(clabels.begin(), clabels.end(), labels);
 }
 
 // Build the src-sorted mirror of one hop's padded COO via counting sort.

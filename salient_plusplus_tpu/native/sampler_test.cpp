@@ -28,6 +28,11 @@ int32_t sptpu_sample_batch(void* ws, const int64_t* rowptr,
 void sptpu_mirror_by_src(const int32_t* src, const int32_t* dst,
                          int32_t count, int32_t cap, int32_t in_cap,
                          int32_t* counts_ws, int32_t* msrc, int32_t* mdst);
+void sptpu_partition_ml(const int64_t* rowptr, const int32_t* col,
+                        int64_t V, int32_t k, const double* weights,
+                        int32_t nw, const double* caps, uint64_t seed,
+                        int32_t refine_passes, int64_t coarsest,
+                        int32_t* labels);
 void sptpu_partition(const int64_t* rowptr, const int32_t* col, int64_t V,
                      int32_t k, const double* weights, int32_t nw,
                      const double* caps, uint64_t seed,
@@ -150,10 +155,14 @@ int run_partition(const Graph& g) {
   std::vector<int32_t> labels(V);
   sptpu_partition(g.rowptr.data(), g.col.data(), V, k, w.data(), nw, caps,
                   7, 3, labels.data());
+  std::vector<int32_t> ml(V);
+  sptpu_partition_ml(g.rowptr.data(), g.col.data(), V, k, w.data(), nw,
+                     caps, 7, 3, /*coarsest=*/1024, ml.data());
   int failures = 0;
   std::vector<double> loads(k * nw, 0.0);
   for (int64_t v = 0; v < V; ++v) {
     if (labels[v] < 0 || labels[v] >= k) { ++failures; continue; }
+    if (ml[v] < 0 || ml[v] >= k) ++failures;
     for (int32_t c = 0; c < nw; ++c) loads[labels[v] * nw + c] += w[v * nw + c];
   }
   return failures;

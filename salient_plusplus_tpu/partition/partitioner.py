@@ -52,11 +52,14 @@ def multiconstraint_partition(
     rowptr: np.ndarray, col: np.ndarray, k: int,
     node_weights: Optional[np.ndarray] = None,
     imbalance: float = 1.05, seed: int = 0, refine_passes: int = 4,
+    multilevel: bool = True,
 ) -> np.ndarray:
     """k-way multi-constraint partition labels [V] (metis_partition parity,
     partitioners/partition.py:67-81). ``imbalance`` is the per-constraint
     cap multiplier (METIS ubvec analog; looser than METIS's 1.001 — the
-    heuristic needs slack, and the SPMD layer pads shards anyway)."""
+    heuristic needs slack, and the SPMD layer pads shards anyway).
+    ``multilevel`` (default) runs the METIS-style coarsen/partition/refine
+    pipeline; False keeps the flat BFS+label-prop heuristic."""
     V = len(rowptr) - 1
     if node_weights is None:
         node_weights = np.stack(
@@ -71,14 +74,17 @@ def multiconstraint_partition(
         pass
     caps = node_weights.sum(axis=0) / k * imbalance + node_weights.max(axis=0)
     return _native_partition(rowptr, col, k, node_weights, caps, seed,
-                             refine_passes)
+                             refine_passes, multilevel=multilevel)
 
 
 def _native_partition(rowptr, col, k, weights, caps, seed,
-                      refine_passes) -> np.ndarray:
-    """Native BFS-grow + label-prop (native/sampler.cpp sptpu_partition):
-    O(passes·E) C speed — the pure-Python edition took minutes at 50k
-    nodes; this runs products-scale graphs in seconds."""
+                      refine_passes, multilevel=True) -> np.ndarray:
+    """Native partitioner (native/sampler.cpp): multilevel heavy-edge
+    coarsening + BFS-grow initial partition + edge-weighted label-prop
+    refinement per level (``sptpu_partition_ml``), or the flat single-level
+    edition (``sptpu_partition``). O(passes·E) C speed — the pure-Python
+    round-1 edition took minutes at 50k nodes; this runs products-scale
+    graphs in seconds."""
     import ctypes
 
     from ..sampling.cpp import get_lib
@@ -90,15 +96,20 @@ def _native_partition(rowptr, col, k, weights, caps, seed,
     weights = np.ascontiguousarray(weights, np.float64)
     caps = np.ascontiguousarray(caps, np.float64)
     labels = np.empty(V, np.int32)
-    lib.sptpu_partition(
+    common = (
         rowptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         col.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         ctypes.c_int64(V), ctypes.c_int32(k),
         weights.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         ctypes.c_int32(weights.shape[1]),
         caps.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-        ctypes.c_uint64(seed or 1), ctypes.c_int32(refine_passes),
-        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        ctypes.c_uint64(seed or 1), ctypes.c_int32(refine_passes))
+    out = labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    if multilevel:
+        lib.sptpu_partition_ml(
+            *common, ctypes.c_int64(max(2048, 128 * k)), out)
+    else:
+        lib.sptpu_partition(*common, out)
     return labels
 
 

@@ -46,6 +46,12 @@ def run(num_nodes: int = 200_000, k: int = 8, seed: int = 0,
     out["heuristic"] = partition_quality(g.rowptr, g.col, labels, w)
     out["heuristic"]["seconds"] = round(time.perf_counter() - t0, 2)
 
+    t0 = time.perf_counter()
+    flat = multiconstraint_partition(g.rowptr, g.col, k, w, seed=seed,
+                                     multilevel=False)
+    out["flat"] = partition_quality(g.rowptr, g.col, flat, w)
+    out["flat"]["seconds"] = round(time.perf_counter() - t0, 2)
+
     # decorrelate from the generator's RNG stream (same-seed integer draws
     # are correlated with the planted community assignment)
     out["random"] = partition_quality(

@@ -133,6 +133,32 @@ def test_partitioner_midsize_quality_and_speed():
     q = partition_quality(g.rowptr, g.col, labels, w)
     q_rand = partition_quality(
         g.rowptr, g.col, random_partition(g.num_nodes, k, seed=777), w)
-    assert dt < 20, dt  # native speed (python edition took minutes)
-    assert q["cut_fraction"] < 0.6 * q_rand["cut_fraction"], (q, q_rand)
+    assert dt < 30, dt  # native speed (python edition took minutes)
+    # multilevel finds ~1/3 of the random cut on community graphs
+    # (measured 0.29 vs 0.875 at 1M; docs/PARTITION_QUALITY.md)
+    assert q["cut_fraction"] < 0.45 * q_rand["cut_fraction"], (q, q_rand)
     assert q["max_imbalance"] < 1.35, q
+
+
+def test_multilevel_beats_flat_and_is_deterministic():
+    """The multilevel (coarsen + weighted-greedy init + per-level refine)
+    edition must cut no more than the flat BFS+LP heuristic on a
+    community graph, and be bit-deterministic for a fixed seed."""
+    from salient_plusplus_tpu.data import synthetic
+
+    g = synthetic.planted_partition(
+        name="pq-ml", num_nodes=60_000, num_classes=24, avg_degree=12,
+        num_features=4, seed=9)
+    k = 4
+    w = get_4d_node_weights(g.num_nodes, g.rowptr,
+                            g.split_idx["train"], g.split_idx["valid"])
+    ml = multiconstraint_partition(g.rowptr, g.col, k, w, seed=3)
+    flat = multiconstraint_partition(g.rowptr, g.col, k, w, seed=3,
+                                     multilevel=False)
+    q_ml = partition_quality(g.rowptr, g.col, ml, w)
+    q_flat = partition_quality(g.rowptr, g.col, flat, w)
+    assert q_ml["cut_fraction"] <= q_flat["cut_fraction"] + 0.02, (
+        q_ml, q_flat)
+    assert q_ml["max_imbalance"] < 1.35, q_ml
+    ml2 = multiconstraint_partition(g.rowptr, g.col, k, w, seed=3)
+    np.testing.assert_array_equal(ml, ml2)
