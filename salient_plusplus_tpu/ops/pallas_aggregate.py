@@ -134,6 +134,7 @@ def fused_gather_segment_sum(emb: jnp.ndarray, src: jnp.ndarray,
     """
     assert num_segments % t_tile == 0
     assert src.shape[0] % chunk == 0, (src.shape, chunk)
+    assert r <= 8, f"DMA ring scratch is sized for r <= 8, got r={r}"
     f = emb.shape[1]
     emb = emb[:, None, :]  # rank-3: row DMAs slice untiled leading dim
     n_tiles = num_segments // t_tile
@@ -189,11 +190,16 @@ def fused_segment_sum_op(emb, src, dst, count, num_segments: int,
 def _fused_fwd(emb, src, dst, count, num_segments, t_tile):
     out = _fused_fwd_impl(emb, src, dst, count, num_segments, t_tile,
                           chunk=1024, r=8)
-    return out, (emb.shape, emb.dtype, src, dst, count)
+    # zero-byte proto array: residuals must be JAX-typed pytree leaves —
+    # a raw np.dtype residual crashes grad tracing (mxu_segment.py uses
+    # the same trick)
+    proto = jnp.zeros((emb.shape[0], 0), emb.dtype)
+    return out, (proto, src, dst, count)
 
 
 def _fused_bwd(num_segments, t_tile, res, g):
-    (emb_shape, emb_dtype, src, dst, count) = res
+    (proto, src, dst, count) = res
+    emb_shape, emb_dtype = proto.shape, proto.dtype
     # d_emb[src[e]] += g[dst[e]] for real edges; padded dst==num_segments
     # reads the appended zero row, so padded edges contribute nothing
     g_pad = jnp.concatenate(

@@ -101,7 +101,11 @@ def assemble_features(
 
     # ---- pack remote ids per destination (one argsort) ----
     dest = jnp.where(is_remote, owner, world)          # non-remote sorts last
-    # int32 is ample: dest·(N_cap+1) ≤ world·N_cap ≪ 2^31 for real configs
+    # the composite key must fit int32 — enforce, don't assume (a wrapped
+    # key would silently group requests under wrong destinations)
+    assert world * (N_cap + 1) + N_cap < 2**31, (
+        f"sort key overflow: world={world} x N_cap={N_cap} needs an "
+        "int64 or two-key argsort")
     sort_key = dest * (N_cap + 1) + idx
     order = jnp.argsort(sort_key)                       # stable by construction
     dest_sorted = dest[order]
@@ -158,6 +162,10 @@ def assemble_features(
         num_cached=is_cached.sum(),
         num_remote=is_remote.sum(),
         num_overflow=num_overflow,
-        sent_bytes=serve_valid.sum() * bytes_per_row,
+        # float32: rows*bytes_per_row wraps int32 at ~5e5 rows of 4 KB,
+        # and the caller psums this across the mesh (int64 is unavailable
+        # without x64 mode); float32's ~2^-24 relative error is nothing
+        # for a byte counter
+        sent_bytes=serve_valid.sum().astype(jnp.float32) * bytes_per_row,
     )
     return x, stats

@@ -26,7 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..sampling.batch import PaddedBatch
 from ..train.state import TrainState
-from ..train.step import decode_batch, masked_nll
+from ..train.step import decode_batch, gather_features, masked_nll
 from ..ops.segment import valid_mask
 from .exchange import DeviceCache, assemble_features
 from .mesh import DATA_AXIS
@@ -47,17 +47,20 @@ def _lookup_features(features, batch: PaddedBatch, feature_mode: str,
                      part_offsets, r_cap: int, cache: Optional[DeviceCache],
                      axis_name: str, hot_size: Optional[int] = None):
     if feature_mode == "replicated":
-        x = jnp.take(features, batch.n_id, axis=0)
-        stats = None
-    else:
-        frontier_count = batch.level_sizes[-1]
-        with jax.named_scope("feature_exchange"):
-            x, stats = assemble_features(
-                features, batch.n_id, frontier_count, part_offsets,
-                axis_name, r_cap, cache, hot_size=hot_size)
+        # single-host helper: CLAMPED take (bare jnp.take NaN-fills OOB
+        # ids) + the sorted MXU cold overlay when a cold tier rides along
+        return gather_features(features, batch), None
+    frontier_count = batch.level_sizes[-1]
+    with jax.named_scope("feature_exchange"):
+        x, stats = assemble_features(
+            features, batch.n_id, frontier_count, part_offsets,
+            axis_name, r_cap, cache, hot_size=hot_size)
     if batch.cold_rows is not None:
         # host-RAM tier overlay: cold frontier rows gathered by the
-        # sampler thread (padded slots point past the frontier → dropped)
+        # sampler thread or served by the owner's pre-step all_to_all
+        # (owner-mode cold_pos is NOT sorted — per-owner slot layout —
+        # so this stays a scatter, not the sorted MXU placement);
+        # padded slots point past the frontier → dropped
         x = x.at[batch.cold_pos].set(batch.cold_rows.astype(x.dtype),
                                      mode="drop")
     return x, stats
@@ -110,7 +113,7 @@ def make_spmd_train_step(mesh: Mesh, feature_mode: str = "replicated",
 
     in_specs = (P(), feat_spec, P(axis_name), P(),
                 cache_spec if with_cache else P())
-    out_specs = (P(), P(), P() if feature_mode != "replicated" else P())
+    out_specs = (P(), P(), P())  # ex_stats is None (empty) when replicated
     smapped = jax.shard_map(step, mesh=mesh, in_specs=in_specs,
                             out_specs=out_specs, check_vma=False)
     return jax.jit(smapped, donate_argnums=(0,) if donate_state else ())
@@ -120,8 +123,12 @@ def make_spmd_eval_step(mesh: Mesh, feature_mode: str = "replicated",
                         r_cap: int = 1024, with_cache: bool = False,
                         axis_name: str = DATA_AXIS,
                         hot_size: Optional[int] = None):
-    """Jitted eval step: psum'd (correct, total) across the mesh
-    (driver/drivers/base.py:517-523 all_reduce analog)."""
+    """Jitted eval step: psum'd (correct, total, exchange_overflow) across
+    the mesh (driver/drivers/base.py:517-523 all_reduce analog). The
+    overflow count surfaces request-budget (r_cap) shortfalls — overflowed
+    remote rows zero-fill, so an accuracy computed with overflow > 0 ran
+    on corrupted features and the caller must recalibrate (the train path
+    self-corrects the same way)."""
     feat_spec = P() if feature_mode == "replicated" else P(axis_name)
     cache_spec = P(axis_name)
 
@@ -129,8 +136,9 @@ def make_spmd_eval_step(mesh: Mesh, feature_mode: str = "replicated",
         b = decode_batch(_unstack(batch))
         dev_cache = (DeviceCache(cache.vertices[0], cache.features[0])
                      if cache is not None else None)
-        x, _ = _lookup_features(features, b, feature_mode, part_offsets,
-                                r_cap, dev_cache, axis_name, hot_size)
+        x, ex_stats = _lookup_features(features, b, feature_mode,
+                                       part_offsets, r_cap, dev_cache,
+                                       axis_name, hot_size)
         out = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
             x, b, training=False)
@@ -138,13 +146,16 @@ def make_spmd_eval_step(mesh: Mesh, feature_mode: str = "replicated",
         mask = valid_mask(out.shape[0], b.seed_count)
         correct = jnp.where(mask, pred == b.y, False).sum()
         total = b.seed_count.astype(jnp.int32)
+        overflow = (ex_stats.num_overflow if ex_stats is not None
+                    else jnp.int32(0))
         return (jax.lax.psum(correct, axis_name),
-                jax.lax.psum(total, axis_name))
+                jax.lax.psum(total, axis_name),
+                jax.lax.psum(overflow, axis_name))
 
     in_specs = (P(), feat_spec, P(axis_name), P(),
                 cache_spec if with_cache else P())
     smapped = jax.shard_map(step, mesh=mesh, in_specs=in_specs,
-                            out_specs=(P(), P()), check_vma=False)
+                            out_specs=(P(), P(), P()), check_vma=False)
     return jax.jit(smapped)
 
 

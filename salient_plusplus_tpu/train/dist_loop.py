@@ -416,13 +416,12 @@ class DistributedTrainer:
         return int(-(-int(worst * self.cfg.spec_safety) // align) * align)
 
     def _build_steps(self, with_cache: bool):
+        # eval steps are built per split in evaluate() (each split has its
+        # own calibrated spec + request budget)
         self.train_step = make_spmd_train_step(
             self.mesh, "partitioned", r_cap=self.r_cap,
             with_cache=with_cache, donate_state=False,
             hot_size=self.hot_size)
-        self.eval_step = make_spmd_eval_step(
-            self.mesh, "partitioned", r_cap=self.r_cap,
-            with_cache=with_cache, hot_size=self.hot_size)
 
     def _init_state(self, trial_seed: int = 0):
         ex_seeds = self.pg.split_idx["train"][: self.cfg.train_batch_size]
@@ -738,8 +737,8 @@ class DistributedTrainer:
             estep = make_spmd_eval_step(
                 self.mesh, "partitioned", r_cap=e_rcap,
                 with_cache=self.cache is not None, hot_size=self.hot_size)
-            self.eval_specs[key] = (espec, estep, e_cold_rcap)
-        spec, eval_step, e_cold_rcap = self.eval_specs[key]
+            self.eval_specs[key] = (espec, estep, e_cold_rcap, e_rcap)
+        spec, eval_step, e_cold_rcap, e_rcap = self.eval_specs[key]
         its = []
         for d in self.local_ranks:
             idx = self.pg.split_idx_parts[d][split]
@@ -795,16 +794,28 @@ class DistributedTrainer:
                          it.stats.dropped_cold] for it in its], np.int64)))
         for it in its:
             it.close()
-        if drop_n or drop_e or drop_c:
+        trips = jax.device_get(acc)
+        correct = sum(int(c) for c, _, _ in trips)
+        total = sum(int(t) for _, t, _ in trips)
+        # exchange request-budget overflow: those remote rows zero-filled,
+        # so this accuracy ran on corrupted features (already psum'd —
+        # every process sees the same count and rebuilds identically)
+        ex_overflow = sum(int(o) for _, _, o in trips)
+        if drop_n or drop_e or drop_c or ex_overflow:
             # this split's accuracy was computed on truncated batches —
             # flag it and rebuild the cached entry grown, so the next
             # evaluate() of this split stops dropping (process-agreed)
             self.logger.log("EVAL_SAMPLER_OVERFLOW", split,
-                            drop_n, drop_e, drop_c)
+                            drop_n, drop_e, drop_c, "exchange", ex_overflow)
             espec2 = spec.grown() if (drop_n or drop_e) else spec
             e_rcap2 = self._calibrate_r_cap(
                 espec2, cache_ids=getattr(self, "_cache_ids_host", None),
                 split=split)
+            if ex_overflow:
+                # the observed stream proved the probe short — never
+                # shrink, grow at least 1.25x (train-path convention)
+                e_rcap2 = max(e_rcap2,
+                              int(-(-int(e_rcap * 1.25) // 128) * 128))
             e_cold2 = (max(self._calibrate_cold_r_cap(
                 espec2, pool=self.pg.split_idx[split]),
                 int(-(-int(e_cold_rcap * 1.25) // 128) * 128))
@@ -812,9 +823,6 @@ class DistributedTrainer:
             self.eval_specs[key] = (espec2, make_spmd_eval_step(
                 self.mesh, "partitioned", r_cap=e_rcap2,
                 with_cache=self.cache is not None,
-                hot_size=self.hot_size), e_cold2)
+                hot_size=self.hot_size), e_cold2, e_rcap2)
             self.logger.log("EVAL_SPEC_GROWN", split)
-        pairs = jax.device_get(acc)
-        correct = sum(int(c) for c, _ in pairs)
-        total = sum(int(t) for _, t in pairs)
         return correct / max(total, 1)

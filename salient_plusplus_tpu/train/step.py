@@ -101,6 +101,11 @@ def make_train_step(pmean_axis: Optional[str] = None,
                    batch: PaddedBatch):
         batch = decode_batch(batch)
         key = jax.random.fold_in(state.dropout_key, state.step)
+        if pmean_axis is not None:
+            # independent dropout per data-parallel replica (state is
+            # replicated, batches differ — without this fold every rank
+            # draws the SAME mask; DDP parity: per-rank torch RNG)
+            key = jax.random.fold_in(key, jax.lax.axis_index(pmean_axis))
 
         def loss_fn(params):
             with jax.named_scope("feature_gather"):

@@ -18,7 +18,12 @@ def dist_trainer():
     g = synthetic.planted_partition(
         name="dist", num_nodes=4000, num_classes=8, avg_degree=10,
         num_features=32, seed=11)
-    labels = multiconstraint_partition(g.rowptr, g.col, WORLD, seed=0)
+    # flat partition on purpose: the cache-cuts-wire-bytes test needs
+    # enough CROSS-partition traffic that VIP caching shrinks the
+    # request budget by a whole 128-row bucket; the multilevel
+    # partitioner cuts this small graph so well that little remains
+    labels = multiconstraint_partition(g.rowptr, g.col, WORLD, seed=0,
+                                       multilevel=False)
     cfg = RunConfig(
         train_batch_size=128, test_batch_size=256,
         train_fanouts=[6, 4], batchwise_test_fanouts=[8, 8],

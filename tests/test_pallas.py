@@ -72,3 +72,36 @@ def test_fused_empty_tiles_interpret():
     expect = np.zeros((T, F), np.float32)
     np.add.at(expect, dst_r, np.asarray(emb)[src_r])
     np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_op_grad_traces_and_bwd_correct():
+    """Regression: the custom_vjp residuals must be JAX-typed leaves (a raw
+    np.dtype residual crashed grad tracing); the backward itself is the XLA
+    scatter transpose, checked against numpy."""
+    import jax
+    import jax.numpy as jnp
+    from salient_plusplus_tpu.ops.pallas_aggregate import (
+        _fused_bwd, fused_segment_sum_op)
+
+    rng = np.random.default_rng(3)
+    N, F, T, E = 96, 8, 64, 200
+    src = jnp.asarray(rng.integers(0, N, E).astype(np.int32))
+    dst = jnp.asarray(np.sort(rng.integers(0, T, E)).astype(np.int32))
+    count = jnp.int32(E)
+
+    def loss(emb):
+        return fused_segment_sum_op(emb, src, dst, count, T, 64).sum()
+
+    # trace-only (the Pallas forward needs a TPU; the dtype-residual bug
+    # crashed at TRACE time, before any kernel ran)
+    g_shape = jax.eval_shape(jax.grad(loss),
+                             jax.ShapeDtypeStruct((N, F), jnp.float32))
+    assert g_shape.shape == (N, F) and g_shape.dtype == jnp.float32
+
+    # backward math vs numpy
+    g = jnp.asarray(rng.normal(size=(T, F)).astype(np.float32))
+    proto = jnp.zeros((N, 0), jnp.float32)
+    (d_emb, _, _, _) = _fused_bwd(T, 64, (proto, src, dst, count), g)
+    expect = np.zeros((N, F), np.float32)
+    np.add.at(expect, np.asarray(src), np.asarray(g)[np.asarray(dst)])
+    np.testing.assert_allclose(np.asarray(d_emb), expect, rtol=1e-5)

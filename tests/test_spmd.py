@@ -221,9 +221,10 @@ def test_spmd_eval_step(mesh, small_graph, rng):
     ex = jax.tree_util.tree_map(lambda v: v[0], stacked)
     state = create_train_state(model, feats[ex.n_id], ex, lr=1e-2)
     ev = make_spmd_eval_step(mesh, "replicated")
-    correct, total = ev(state, feats, stacked, jnp.zeros(1), None)
+    correct, total, overflow = ev(state, feats, stacked, jnp.zeros(1), None)
     assert int(total) == WORLD * 32
     assert 0 <= int(correct) <= int(total)
+    assert int(overflow) == 0  # replicated mode has no exchange
 
 
 def test_assemble_features_overflow_counted(mesh, rng):
