@@ -313,3 +313,29 @@ def test_dist_spec_grows_after_cap_overflow():
             break
     else:
         raise AssertionError("growth never reached a non-truncating spec")
+
+
+def test_eval_exchange_overflow_self_corrects(dist_trainer):
+    """An eval request budget proven too small must be surfaced (the
+    accuracy ran on zero-filled rows) and the split's cached eval entry
+    rebuilt with a grown r_cap, so the next evaluate() stops overflowing."""
+    t = dist_trainer
+    orig = t._calibrate_r_cap
+
+    def tiny(*a, **k):
+        return 128  # deliberately short budget
+
+    t._calibrate_r_cap = tiny
+    try:
+        t.evaluate("valid")
+        key = next(k for k in t.eval_specs if k[0] == "valid")
+        _, _, _, e_rcap = t.eval_specs[key]
+        # overflow must have been detected and the budget grown past the
+        # probe's 128 (>= 1.25x growth, 128-aligned)
+        assert e_rcap >= 256, e_rcap
+    finally:
+        t._calibrate_r_cap = orig
+        t.eval_specs.clear()
+    # clean run after recalibration: entry rebuilt with the honest probe
+    acc = t.evaluate("valid")
+    assert 0.0 <= acc <= 1.0
