@@ -38,19 +38,38 @@ def simulate_vertex_accesses(
         pool = np.concatenate([t for t in train_idx_per_partition if len(t)])
         spec = calibrate_spec(native, pool, minibatch_size, list(fanouts),
                               num_batches=6, safety=1.5, seed=seed)
-    accesses = []
-    rng = np.random.default_rng(seed)
-    for part, train_idx in enumerate(train_idx_per_partition):
-        acc = np.zeros(V, np.int64)
-        for epoch in range(num_epochs):
-            perm = rng.permutation(len(train_idx))
-            for bno, seeds in enumerate(
-                    split_seeds(train_idx[perm], minibatch_size)):
-                b = native.sample(spec, np.asarray(seeds),
-                                  rng_seed=batch_seed(seed, epoch, bno))
-                n = int(b.level_sizes[-1])
-                np.add.at(acc, b.n_id[:n], 1)
-        accesses.append(acc / max(num_epochs, 1))
+    def _run(run_spec):
+        accesses = []
+        dropped = 0
+        rng = np.random.default_rng(seed)
+        for part, train_idx in enumerate(train_idx_per_partition):
+            acc = np.zeros(V, np.int64)
+            for epoch in range(num_epochs):
+                perm = rng.permutation(len(train_idx))
+                for bno, seeds in enumerate(
+                        split_seeds(train_idx[perm], minibatch_size)):
+                    b = native.sample(run_spec, np.asarray(seeds),
+                                      rng_seed=batch_seed(seed, epoch, bno))
+                    dropped += int(b.overflow[0]) + int(b.overflow[1])
+                    n = int(b.level_sizes[-1])
+                    np.add.at(acc, b.n_id[:n], 1)
+            accesses.append(acc / max(num_epochs, 1))
+        return accesses, dropped
+
+    # never count on truncated batches: a spec overflow drops vertices and
+    # silently under-reports cross traffic — grow and re-run (the offline
+    # analog of the train loop's self-correcting caps)
+    for _ in range(4):
+        accesses, dropped = _run(spec)
+        if not dropped:
+            break
+        spec = spec.grown()
+    else:
+        import warnings
+
+        warnings.warn(
+            f"simulate_vertex_accesses: {dropped} accesses still dropped "
+            "after 3 spec growths; volumes are a lower bound", stacklevel=2)
     return accesses
 
 
@@ -62,19 +81,27 @@ def evaluate_communication_volume(
     """Classify per-epoch vertex accesses into internal / cross / cache_hits
     with the accounting identity asserted (reference caching/vip.py:83-113)."""
     k = len(vertex_accesses_per_partition)
-    out = {"total": 0, "internal": 0, "cross": 0, "cache_hits": 0}
+    # accumulate in float (epoch-averaged accesses are fractional for
+    # num_epochs > 1); per-bucket int() truncation would break the
+    # accounting identity
+    internal = cross = hits = 0.0
     for part in range(k):
-        acc = np.asarray(vertex_accesses_per_partition[part])
+        acc = np.asarray(vertex_accesses_per_partition[part], np.float64)
         local_mask = partition_ids == part
         cache_mask = np.zeros_like(local_mask)
         if cached_idx_per_partition is not None:
             cache_mask[np.asarray(cached_idx_per_partition[part],
                                   np.int64)] = True
-        out["total"] += int(acc.sum())
-        out["internal"] += int(acc[local_mask].sum())
-        out["cross"] += int(acc[~local_mask & ~cache_mask].sum())
-        out["cache_hits"] += int(acc[~local_mask & cache_mask].sum())
-    assert out["total"] == out["internal"] + out["cross"] + out["cache_hits"]
+        i = float(acc[local_mask].sum())
+        c = float(acc[~local_mask & ~cache_mask].sum())
+        h = float(acc[~local_mask & cache_mask].sum())
+        assert np.isclose(float(acc.sum()), i + c + h)  # masks partition acc
+        internal += i
+        cross += c
+        hits += h
+    out = {"internal": int(round(internal)), "cross": int(round(cross)),
+           "cache_hits": int(round(hits))}
+    out["total"] = out["internal"] + out["cross"] + out["cache_hits"]
     return out
 
 

@@ -67,6 +67,14 @@ def vip_analytical(rowptr: np.ndarray, col: np.ndarray,
              the frontier once reached).
     init_scale: seed probability override (random-multiwalk uses 1/|train|
              instead of minibatch/|train|).
+
+    NOTE (deliberate, reference parity): the hop-0 SEED access probability
+    is not folded into p_total — only the L neighbor hops are (reference
+    caching/vip.py:160-180 does the same). VIP weights rank REMOTE-access
+    likelihood for caching, and a partition's own train seeds are local by
+    construction, so their hop-0 accesses never cross the wire. The
+    empirical schemes (simulation/oracle) do count seed accesses; the
+    correlation test tolerates that known difference.
     """
     V = len(rowptr) - 1
     deg = vertex_indegrees(rowptr).astype(np.float64)
@@ -204,15 +212,18 @@ def vip_proxy_num_paths_reachable(rowptr, col, train_idx_per_partition,
 
 def vip_proxy_degree_1hop(rowptr, col, train_idx_per_partition
                           ) -> List[np.ndarray]:
-    """1-hop halo indicator (caching/vip.py:362-387)."""
+    """1-hop halo indicator (caching/vip.py:362-387). Vectorized O(E):
+    select the edges whose source row is a train vertex, mark their
+    endpoints (a per-train-vertex slice loop took minutes at products
+    scale)."""
     V = len(rowptr) - 1
+    rows = _edge_rows(rowptr)
     out = []
     for train_idx in train_idx_per_partition:
-        mask = np.zeros(V, bool)
-        mask[train_idx] = True
+        in_train = np.zeros(V, bool)
+        in_train[train_idx] = True
         halo = np.zeros(V, bool)
-        for u in train_idx:
-            halo[col[rowptr[u]:rowptr[u + 1]]] = True
+        halo[col[in_train[rows]]] = True
         out.append(halo.astype(np.float32))
     return out
 

@@ -106,6 +106,10 @@ class RunConfig:
     performance_stats: bool = True      # region stats reporting
     collect_data: bool = False          # DataCollector npz dumps
     verbose: bool = False               # mirror log events to stdout
+    # Orbax async checkpointing: save() returns once the state is staged
+    # to host and the IO overlaps the next epoch (§5.4; the runner waits
+    # for in-flight saves before exit)
+    async_checkpoint: bool = False
 
     @property
     def effective_patience(self) -> int:

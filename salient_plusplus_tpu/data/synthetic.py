@@ -99,10 +99,14 @@ def powerlaw_graph(
     way ogbn-products' hubs do. Labels/features are random (not learnable) —
     use planted_partition for accuracy tests.
     """
+    # skew exponent 1/(1-alpha)+1 (alpha=0.8 -> u^6): defined for
+    # alpha in [0, 1) only — at alpha >= 1 the formula degenerates
+    # (division by zero, or every endpoint collapsing onto one hub)
+    assert 0.0 <= alpha < 1.0, alpha
     rng = np.random.default_rng(seed)
     V = num_nodes
     n_draw = V * avg_degree // 2
-    # Zipf-ish endpoint weights via inverse-CDF on u^(1/(1-alpha))
+    # Zipf-ish endpoint weights via inverse-CDF on u^(1/(1-alpha)+1)
     u1 = rng.random(n_draw)
     u2 = rng.random(n_draw)
     src = np.minimum((V * u1 ** (1.0 / (1.0 - alpha) + 1.0)), V - 1).astype(np.int64)

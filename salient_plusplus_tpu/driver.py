@@ -67,7 +67,8 @@ def run_communication_simulation(cfg, graph, logger):
         cfg.train_fanouts, cfg.train_batch_size,
         schemes=(("vip-analytical", "degree") if cfg.cache_strategy == "vip"
                  else (cfg.cache_strategy,)),
-        replication_factors=(0.0, 0.01, 0.05, 0.1, 0.2, cfg.cache_size),
+        replication_factors=tuple(sorted(
+            {0.0, 0.01, 0.05, 0.1, 0.2, cfg.cache_size})),
         num_epochs=cfg.cache_creation_epochs, seed=cfg.seed)
     table = tabulate_comm_results(results)
     logger.log("communication_simulation", table)
@@ -84,38 +85,58 @@ def run_computation(cfg, graph, job_dir: str, logger):
 
     distributed = cfg.distribute_data and len(jax.devices()) > 1
     results = []
+    dist_trainer = None
     for trial in range(cfg.trials):
         if distributed:
-            from .parallel import make_mesh
-            from .partition import multiconstraint_partition
-            from .train.dist_loop import DistributedTrainer
-
-            mesh = make_mesh()
-            labels = multiconstraint_partition(
-                graph.rowptr, graph.col, mesh.devices.size, seed=cfg.seed)
             from .train import checkpoint as ckpt
             from .train.state import ReduceLROnPlateau
 
-            trainer = DistributedTrainer(cfg, graph, labels, mesh=mesh,
-                                         logger=logger)
-            # vary init/shuffle per trial — otherwise every trial is
-            # bit-identical (single-device path does this via reset())
+            if dist_trainer is None:
+                from .parallel import make_mesh
+                from .partition import multiconstraint_partition
+                from .train.dist_loop import DistributedTrainer
+
+                mesh = make_mesh()
+                # partition/reorder/calibration/cache are seed-determined
+                # and trial-independent — build ONCE (they dominate setup
+                # time at scale); only the train state varies per trial
+                labels = multiconstraint_partition(
+                    graph.rowptr, graph.col, mesh.devices.size,
+                    seed=cfg.seed)
+                dist_trainer = DistributedTrainer(cfg, graph, labels,
+                                                  mesh=mesh, logger=logger)
+                if cfg.computation_mode == "frequency_cache":
+                    dist_trainer.create_cache()
+            trainer = dist_trainer
+            # vary init per trial — otherwise every trial is bit-identical
+            # (single-device path does this via reset())
             if trial:
                 trainer._init_state(trial_seed=trial)
-            if cfg.computation_mode == "frequency_cache":
-                trainer.create_cache()
             scheduler = (ReduceLROnPlateau(cfg.lrs_factor,
                                            cfg.effective_patience)
                          if cfg.use_lrs else None)
             best_acc, best_epoch = 0.0, -1
             best_snapshot = None  # in-memory, multi-host safe
             start_epoch = 0
-            resume = ckpt.latest_epoch(job_dir, trial)
-            if resume is not None and os.environ.get("RESUME", "0") == "1":
-                trainer.state = ckpt.restore(job_dir, trainer.state,
-                                             trial, resume)
-                start_epoch = resume + 1
-                logger.log("resumed", trial, resume)
+            if os.environ.get("RESUME", "0") == "1":
+                resume = ckpt.latest_epoch(job_dir, trial)
+                if jax.process_count() > 1:
+                    # hosts must agree on the resume point, or they run
+                    # different numbers of collective programs and desync;
+                    # min(): resume only to an epoch EVERY host has
+                    from jax.experimental import multihost_utils
+
+                    local = -1 if resume is None else resume
+                    agreed = int(multihost_utils.process_allgather(
+                        np.asarray([local], np.int32)).min())
+                    if agreed != local:
+                        logger.log("resume_mismatch", trial, local, agreed)
+                    resume = agreed if agreed >= 0 else None
+                if resume is not None:
+                    trainer.state = ckpt.restore(job_dir, trainer.state,
+                                                 trial, resume)
+                    start_epoch = resume + 1
+                    logger.log("resumed", trial, resume)
             for epoch in range(start_epoch, cfg.epochs):
                 t0 = time.perf_counter()
                 m = trainer.train_epoch(epoch)
@@ -129,15 +150,19 @@ def run_computation(cfg, graph, job_dir: str, logger):
                     if acc > best_acc:
                         best_acc, best_epoch = acc, epoch
                         # replicated arrays are process-locally readable:
-                        # snapshot on EVERY process (restoring from disk
-                        # would require a shared filesystem — host 0 is
-                        # the only checkpoint writer)
+                        # snapshot on EVERY process for the in-memory
+                        # best-model restore below
                         best_snapshot = jax.tree_util.tree_map(
                             np.asarray, (trainer.state.params,
                                          trainer.state.batch_stats))
-                        if jax.process_index() == 0:
-                            ckpt.save(job_dir, trainer.state, trial, epoch,
-                                      acc)
+                        # Orbax save is a COLLECTIVE in a multi-controller
+                        # runtime — every process must enter it (a
+                        # process-0-only save deadlocks the pod at the
+                        # global barrier); only process 0 appends the
+                        # metadata line (shared-fs double-append guard)
+                        ckpt.save(job_dir, trainer.state, trial, epoch,
+                                  acc if jax.process_index() == 0 else None,
+                                  use_async=cfg.async_checkpoint)
             # score the best-validation model, not the last epoch
             # (driver/main.py:220-235 reloads the best checkpoint)
             if best_snapshot is not None:
@@ -186,14 +211,23 @@ def main(argv=None):
     from .config import RunConfig
     from .utils.logging import RunLogger
 
+    usage = ("usage: python -m salient_plusplus_tpu.driver "
+             "<dataset> <job_name> [--flags] "
+             "[--do_test_run epoch0,epoch1,...]")
     argv = argv if argv is not None else sys.argv[1:]
     if argv and not argv[0].startswith("-"):
+        if len(argv) < 2 or argv[1].startswith("-"):
+            print(usage, file=sys.stderr)
+            sys.exit(2)
         dataset_name, job_name, rest = argv[0], argv[1], argv[2:]
     else:
         dataset_name, job_name, rest = "synth:V=50000", "job", argv
     test_run_epochs = None
     if "--do_test_run" in rest:
         i = rest.index("--do_test_run")
+        if i + 1 >= len(rest):
+            print(usage, file=sys.stderr)
+            sys.exit(2)
         test_run_epochs = [int(e) for e in rest[i + 1].split(",")]
         rest = rest[:i] + rest[i + 2:]
     cfg = RunConfig.from_args(rest)
@@ -218,6 +252,9 @@ def main(argv=None):
         else:
             out = run_computation(cfg, graph, job_dir, logger)
     finally:
+        from .train.checkpoint import wait_for_async_saves
+
+        wait_for_async_saves()  # never exit with checkpoint IO in flight
         logger.flush()
     with open(os.path.join(job_dir, "results.json"), "w") as f:
         json.dump(out, f, indent=2, default=str)

@@ -63,7 +63,6 @@ def layerwise_inference(
                            np.asarray(graph_col, np.int32))
     spec = _chunk_spec(graph_rowptr, chunk)
 
-    conv_cls = GATConv if model_name == "GAT" else SAGEConv
     use_bias = model_name == "SAGEClassic"
 
     def make_layer_fn(i: int, feat: int, last: bool):
@@ -89,7 +88,6 @@ def layerwise_inference(
         return layer_fn
 
     emb = x_all
-    hidden = None
     for i in range(num_layers):
         conv_params = params[f"conv{i}"]
         lin = conv_params.get("lin_l") or conv_params.get("lin_src")

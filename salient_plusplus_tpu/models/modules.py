@@ -111,6 +111,7 @@ class SAGEResInception(_GNNBase):
     def __call__(self, x, batch: PaddedBatch, training: bool = False):
         x = x.astype(self.dtype)
         L = batch.num_layers
+        assert L == self.num_layers, (L, self.num_layers)
         end_cap = batch.spec.node_caps[0]
         seed_n = batch.level_sizes[0]
         drop = lambda v: nn.Dropout(0.1, deterministic=not training)(v)
@@ -155,6 +156,7 @@ class GAT(_GNNBase):
     def __call__(self, x, batch: PaddedBatch, training: bool = False):
         x = x.astype(self.dtype)
         L = batch.num_layers
+        assert L == self.num_layers, (L, self.num_layers)
         for i in range(L):
             in_cap, out_cap = batch.layer_caps(i)
             feat = (self.out_features if i == L - 1 else self.hidden_features)
@@ -177,6 +179,7 @@ class GIN(_GNNBase):
                  features=None):
         x = x.astype(self.dtype)
         L = batch.num_layers
+        assert L == self.num_layers, (L, self.num_layers)
         for i in range(L):
             in_cap, out_cap = batch.layer_caps(i)
             valid = batch.level_sizes[L - i - 1]
@@ -205,6 +208,7 @@ class JKNet(_GNNBase):
     def __call__(self, x, batch: PaddedBatch, training: bool = False):
         x = x.astype(self.dtype)
         L = batch.num_layers
+        assert L == self.num_layers, (L, self.num_layers)
         end_cap = batch.spec.node_caps[0]
         xs = []
         for i in range(L):
@@ -236,6 +240,7 @@ class GCN(_GNNBase):
     def __call__(self, x, batch: PaddedBatch, training: bool = False):
         x = x.astype(self.dtype)
         L = batch.num_layers
+        assert L == self.num_layers, (L, self.num_layers)
         for i in range(L):
             in_cap, out_cap = batch.layer_caps(i)
             feat = (self.out_features if i == L - 1 else self.hidden_features)
@@ -264,6 +269,7 @@ class ARMA(_GNNBase):
     def __call__(self, x, batch: PaddedBatch, training: bool = False):
         x = x.astype(self.dtype)
         L = batch.num_layers
+        assert L == self.num_layers, (L, self.num_layers)
         for i in range(L):
             in_cap, out_cap = batch.layer_caps(i)
             x = ARMAConv(self.hidden_features, dropout=self.dropout,

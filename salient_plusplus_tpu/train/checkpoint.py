@@ -50,7 +50,9 @@ def save(directory: str, state: TrainState, trial: int, epoch: int,
             saver.save(path, _saveable(state), force=True)
     if acc is not None:
         with open(os.path.join(directory, "metadata.txt"), "a") as f:
-            f.write(f"{epoch},{acc}\n")
+            # trial-qualified (the reference's 2-field `epoch,acc` lines
+            # mix trials together; best_epoch() parses both forms)
+            f.write(f"{trial},{epoch},{acc}\n")
     return path
 
 
@@ -104,15 +106,20 @@ def latest_epoch(directory: str, trial: int = 0) -> Optional[int]:
 
 
 def best_epoch(directory: str, trial: int = 0) -> Optional[int]:
-    """Parse metadata.txt for the best-acc epoch (reference reads it the
-    same way for its final-inference reload, driver/main.py:220-235)."""
+    """Parse metadata.txt for THIS trial's best-acc epoch (reference reads
+    it for its final-inference reload, driver/main.py:220-235 — but its
+    2-field lines mix trials; we write `trial,epoch,acc` and accept the
+    legacy 2-field form as trial 0)."""
     meta = os.path.join(directory, "metadata.txt")
     if not os.path.exists(meta):
         return None
     best, best_acc = None, -1.0
     with open(meta) as f:
         for line in f:
-            e, a = line.strip().split(",")
+            parts = line.strip().split(",")
+            t, e, a = (0, *parts) if len(parts) == 2 else parts
+            if int(t) != trial:
+                continue
             if float(a) > best_acc:
                 best, best_acc = int(e), float(a)
     return best

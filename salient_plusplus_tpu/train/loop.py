@@ -440,7 +440,10 @@ class Trainer:
                         np.asarray, (self.state.params, self.state.batch_stats))
                     if checkpoint_dir:
                         ckpt.save(checkpoint_dir, self.state,
-                                  trial=trial, epoch=epoch, acc=acc)
+                                  trial=trial, epoch=epoch, acc=acc,
+                                  use_async=cfg.async_checkpoint)
+        if cfg.async_checkpoint:
+            ckpt.wait_for_async_saves()
         if best_state is not None:
             params, batch_stats = best_state
             self.state = self.state.replace(params=params,

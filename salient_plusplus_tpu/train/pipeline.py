@@ -42,6 +42,7 @@ class DeviceFeeder:
         self.depth = max(1, depth)
         self.pipelined = pipelined
         self._inflight = collections.deque()
+        self._primed = False  # first batch returned (initial fill done)
         self.starved_dur = 0.0
         self.starved_occasions = 0
         # host-side accounting (never read scalars off the device batch in
@@ -86,7 +87,12 @@ class DeviceFeeder:
                 t0 = time.perf_counter()
                 bufs = next(self.it)
                 dt = time.perf_counter() - t0
-                if dt > 1e-4 and self._inflight:
+                # any sampler wait after the initial fill delays the step
+                # that this __next__ serves — that's feed starvation (the
+                # pipelined=False ablation's entire exposed sampling cost
+                # lands here; the old `and self._inflight` guard excluded
+                # exactly those waits and counted warmup fills instead)
+                if self._primed and dt > 1e-4:
                     self.starved_dur += dt
                     self.starved_occasions += 1
                 self._put(bufs)
@@ -98,4 +104,5 @@ class DeviceFeeder:
         # ensure host->device copy is complete before recycling host buffers
         dev = jax.block_until_ready(dev)
         self.it.recycle(bufs)
+        self._primed = True
         return dev

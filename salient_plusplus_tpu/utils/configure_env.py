@@ -23,7 +23,8 @@ DATASET_BASE_GB = {
 }
 # reordered k-way copies cost roughly (1 + 1/8·k) of base (features split
 # once + shared structure per partition count kept on disk)
-K_MULTIPLIER = 1.25
+def _k_footprint_gb(base: float, k: int) -> float:
+    return base * (1.0 + k / 8.0) + base  # reordered copy + the original
 
 
 def recommended_num_workers(cpu_count: int = 0) -> int:
@@ -40,7 +41,7 @@ def feasible_datasets(free_gb: float = 0.0,
         free_gb = shutil.disk_usage(".").free / 1e9
     out: Dict[str, List[int]] = {}
     for name, base in DATASET_BASE_GB.items():
-        fits = [k for k in ks if base * K_MULTIPLIER * 1.0 + base <= free_gb]
+        fits = [k for k in ks if _k_footprint_gb(base, k) <= free_gb]
         if base <= free_gb:
             out[name] = fits
     return out

@@ -122,6 +122,24 @@ def test_comm_volume_identity_and_vip_wins(small_graph):
     assert "vip-analytical" in table
 
 
+def test_comm_volume_fractional_epochs(small_graph):
+    """num_epochs > 1 averages access counts to fractions; the accounting
+    must stay consistent (regression: per-bucket int() truncation tripped
+    the identity assert on any multi-epoch run)."""
+    g = small_graph
+    pids = (np.arange(g.num_nodes) * 2 // g.num_nodes).astype(np.int32)
+    rng = np.random.default_rng(4)
+    train = np.sort(rng.choice(g.num_nodes, 400,
+                               replace=False)).astype(np.int64)
+    results = run_replication_sweep(
+        g.rowptr, g.col, pids, train, [4, 3], 64,
+        schemes=("vip-analytical",), replication_factors=(0.0, 0.2),
+        num_epochs=2)
+    for d in results["vip-analytical"].values():
+        assert d["total"] == d["internal"] + d["cross"] + d["cache_hits"]
+        assert d["total"] > 0
+
+
 def test_strategy_zoo_variants(small_graph):
     """Taylor/cascade analytic variants + shuffle/random-multiwalk
     baselines (reference eval_quality.py:192-526, ddp.py:219-224): all run
