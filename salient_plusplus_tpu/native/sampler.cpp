@@ -517,6 +517,63 @@ void greedy_grow_w(const int64_t* rowptr, const int32_t* col,
   }
 }
 
+// Final balance repair: while any (partition, constraint) load exceeds
+// target[c], move boundary vertices of overloaded partitions to the
+// feasible partition with the heaviest neighbor connection (accepting
+// cut regression — balance is the contract, METIS ubvec analog).
+void rebalance(const int64_t* rowptr, const int32_t* col, const float* ewt,
+               int64_t V, int32_t k, const double* weights, int32_t nw,
+               const double* target, Rng& rng, int32_t passes,
+               int32_t* labels, std::vector<double>& loads) {
+  std::vector<int32_t> order(V);
+  for (int64_t i = 0; i < V; ++i) order[i] = (int32_t)i;
+  std::vector<double> cnt(k);
+  for (int32_t pass = 0; pass < passes; ++pass) {
+    bool any_over = false;
+    for (int32_t p = 0; p < k && !any_over; ++p)
+      for (int32_t c = 0; c < nw; ++c)
+        if (loads[(size_t)p * nw + c] > target[c]) { any_over = true; break; }
+    if (!any_over) break;
+    for (int64_t i = V - 1; i > 0; --i) {
+      const int64_t j = (int64_t)(rng.next() % (uint64_t)(i + 1));
+      std::swap(order[i], order[j]);
+    }
+    int64_t moved = 0;
+    for (int64_t i = 0; i < V; ++i) {
+      const int32_t u = order[i];
+      const int32_t cur = labels[u];
+      bool over = false;
+      for (int32_t c = 0; c < nw; ++c) {
+        if (loads[(size_t)cur * nw + c] > target[c] &&
+            weights[(size_t)u * nw + c] > 0) { over = true; break; }
+      }
+      if (!over) continue;
+      std::fill(cnt.begin(), cnt.end(), 0.0);
+      for (int64_t e = rowptr[u]; e < rowptr[u + 1]; ++e)
+        cnt[labels[col[e]]] += ewt ? (double)ewt[e] : 1.0;
+      int32_t best = -1;
+      double bg = -1.0;
+      for (int32_t p = 0; p < k; ++p) {
+        if (p == cur) continue;
+        bool fits = true;
+        for (int32_t c = 0; c < nw; ++c) {
+          if (loads[(size_t)p * nw + c] + weights[(size_t)u * nw + c]
+              > target[c]) { fits = false; break; }
+        }
+        if (fits && cnt[p] > bg) { bg = cnt[p]; best = p; }
+      }
+      if (best < 0) continue;
+      for (int32_t c = 0; c < nw; ++c) {
+        loads[(size_t)cur * nw + c] -= weights[(size_t)u * nw + c];
+        loads[(size_t)best * nw + c] += weights[(size_t)u * nw + c];
+      }
+      labels[u] = best;
+      ++moved;
+    }
+    if (!moved) break;
+  }
+}
+
 // One coarsening level: CSR + accumulated edge weights + summed vertex
 // weights + the finer-level id -> this level's id map.
 struct Level {
@@ -724,6 +781,23 @@ void sptpu_partition_ml(const int64_t* rowptr, const int32_t* col,
               flabels.data(), loads);
     clabels.swap(flabels);
   }
+
+  // final balance repair at the finest level: growth/refinement caps are
+  // deliberately slack (sum/k*ub + max single weight), which lets hub
+  // constraints drift; tighten to the ubvec-style target where feasible
+  std::vector<double> total(nw, 0.0), maxw(nw, 0.0);
+  for (int64_t u = 0; u < V; ++u)
+    for (int32_t c = 0; c < nw; ++c) {
+      const double w = weights[(size_t)u * nw + c];
+      total[c] += w;
+      if (w > maxw[c]) maxw[c] = w;
+    }
+  std::vector<double> bal_target(nw);
+  for (int32_t c = 0; c < nw; ++c)
+    bal_target[c] = std::min(caps[c],
+                             std::max(total[c] / k * 1.05, maxw[c]));
+  rebalance(rowptr, col, nullptr, V, k, weights, nw, bal_target.data(),
+            rng, 4, clabels.data(), loads);
   std::copy(clabels.begin(), clabels.end(), labels);
 }
 
