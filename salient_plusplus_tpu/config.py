@@ -100,6 +100,11 @@ class RunConfig:
     # --- precision ---
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"
+    # compress the feature-exchange response rows to fp8 (e4m3, per-row
+    # dynamic-range scale) on the wire: halves the dominant distributed
+    # payload vs bf16 (the reference ships fp16, transferers.py:507-531)
+    # at ≤2^-3 relative feature error; local/cached/cold rows stay exact
+    wire_fp8: bool = False
 
     # --- observability (§5.1 parity: NVTX/CUDA-events → jax.profiler) ---
     profile_dir: Optional[str] = None   # write a profiler trace of epoch 1

@@ -45,7 +45,8 @@ def _unstack(batch: PaddedBatch) -> PaddedBatch:
 
 def _lookup_features(features, batch: PaddedBatch, feature_mode: str,
                      part_offsets, r_cap: int, cache: Optional[DeviceCache],
-                     axis_name: str, hot_size: Optional[int] = None):
+                     axis_name: str, hot_size: Optional[int] = None,
+                     wire_fp8: bool = False):
     if feature_mode == "replicated":
         # single-host helper: CLAMPED take (bare jnp.take NaN-fills OOB
         # ids) + the sorted MXU cold overlay when a cold tier rides along
@@ -54,7 +55,7 @@ def _lookup_features(features, batch: PaddedBatch, feature_mode: str,
     with jax.named_scope("feature_exchange"):
         x, stats = assemble_features(
             features, batch.n_id, frontier_count, part_offsets,
-            axis_name, r_cap, cache, hot_size=hot_size)
+            axis_name, r_cap, cache, hot_size=hot_size, wire_fp8=wire_fp8)
     if batch.cold_rows is not None:
         # host-RAM tier overlay: cold frontier rows gathered by the
         # sampler thread or served by the owner's pre-step all_to_all
@@ -70,7 +71,8 @@ def make_spmd_train_step(mesh: Mesh, feature_mode: str = "replicated",
                          r_cap: int = 1024, with_cache: bool = False,
                          axis_name: str = DATA_AXIS,
                          donate_state: bool = True,
-                         hot_size: Optional[int] = None):
+                         hot_size: Optional[int] = None,
+                         wire_fp8: bool = False):
     """Returns jitted ``step(state, features, batch, part_offsets, cache)``.
 
     features: replicated [V, F] or row-sharded [world·V_pad, F].
@@ -91,7 +93,7 @@ def make_spmd_train_step(mesh: Mesh, feature_mode: str = "replicated",
         def loss_fn(params):
             x, ex_stats = _lookup_features(
                 features, b, feature_mode, part_offsets, r_cap, dev_cache,
-                axis_name, hot_size)
+                axis_name, hot_size, wire_fp8)
             vars_in = {"params": params, "batch_stats": state.batch_stats}
             out, updates = state.apply_fn(
                 vars_in, x, b, training=True,
@@ -122,7 +124,8 @@ def make_spmd_train_step(mesh: Mesh, feature_mode: str = "replicated",
 def make_spmd_eval_step(mesh: Mesh, feature_mode: str = "replicated",
                         r_cap: int = 1024, with_cache: bool = False,
                         axis_name: str = DATA_AXIS,
-                        hot_size: Optional[int] = None):
+                        hot_size: Optional[int] = None,
+                        wire_fp8: bool = False):
     """Jitted eval step: psum'd (correct, total, exchange_overflow) across
     the mesh (driver/drivers/base.py:517-523 all_reduce analog). The
     overflow count surfaces request-budget (r_cap) shortfalls — overflowed
@@ -138,7 +141,7 @@ def make_spmd_eval_step(mesh: Mesh, feature_mode: str = "replicated",
                      if cache is not None else None)
         x, ex_stats = _lookup_features(features, b, feature_mode,
                                        part_offsets, r_cap, dev_cache,
-                                       axis_name, hot_size)
+                                       axis_name, hot_size, wire_fp8)
         out = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
             x, b, training=False)

@@ -25,7 +25,7 @@ from ..config import RunConfig
 from ..data.dataset import GraphData
 from ..data.reorder import reorder_graph
 from ..models import make_model
-from ..parallel.exchange import DeviceCache
+from ..parallel.exchange import DeviceCache, wire_row_bytes
 from ..parallel.mesh import DATA_AXIS, make_mesh
 from ..parallel.spmd import (
     make_spmd_eval_step, make_spmd_train_step, stack_batches)
@@ -421,7 +421,7 @@ class DistributedTrainer:
         self.train_step = make_spmd_train_step(
             self.mesh, "partitioned", r_cap=self.r_cap,
             with_cache=with_cache, donate_state=False,
-            hot_size=self.hot_size)
+            hot_size=self.hot_size, wire_fp8=self.cfg.wire_fp8)
 
     def _init_state(self, trial_seed: int = 0):
         ex_seeds = self.pg.split_idx["train"][: self.cfg.train_batch_size]
@@ -682,8 +682,8 @@ class DistributedTrainer:
         # each device sends [world, r_cap] ids + [world, r_cap, F] rows
         # (cache-aware r_cap recalibration is what shrinks this)
         F = int(self.features.shape[1])
-        itemsize = jnp.dtype(self.features.dtype).itemsize
-        wire_bytes = n_iters * self.world * self.r_cap * (F * itemsize + 4)
+        row_b = wire_row_bytes(F, self.features.dtype, self.cfg.wire_fp8)
+        wire_bytes = n_iters * self.world * self.r_cap * (row_b + 4)
         self.logger.log("NUM_SENT_BYTES", epoch, sent_bytes)
         self.logger.log("WIRE_BYTES", epoch, wire_bytes, "r_cap", self.r_cap)
         self.logger.log("epoch", epoch, "loss", mean_loss,
@@ -736,7 +736,8 @@ class DistributedTrainer:
                 if self._owner_cold else 0)
             estep = make_spmd_eval_step(
                 self.mesh, "partitioned", r_cap=e_rcap,
-                with_cache=self.cache is not None, hot_size=self.hot_size)
+                with_cache=self.cache is not None, hot_size=self.hot_size,
+                wire_fp8=self.cfg.wire_fp8)
             self.eval_specs[key] = (espec, estep, e_cold_rcap, e_rcap)
         spec, eval_step, e_cold_rcap, e_rcap = self.eval_specs[key]
         its = []
@@ -823,6 +824,7 @@ class DistributedTrainer:
             self.eval_specs[key] = (espec2, make_spmd_eval_step(
                 self.mesh, "partitioned", r_cap=e_rcap2,
                 with_cache=self.cache is not None,
-                hot_size=self.hot_size), e_cold2, e_rcap2)
+                hot_size=self.hot_size,
+                wire_fp8=self.cfg.wire_fp8), e_cold2, e_rcap2)
             self.logger.log("EVAL_SPEC_GROWN", split)
         return correct / max(total, 1)

@@ -339,3 +339,31 @@ def test_eval_exchange_overflow_self_corrects(dist_trainer):
     # clean run after recalibration: entry rebuilt with the honest probe
     acc = t.evaluate("valid")
     assert 0.0 <= acc <= 1.0
+
+
+def test_wire_fp8_trains_and_shrinks_payload():
+    """wire_fp8=True: training still learns (fp8 noise is below SGD noise),
+    overflow stays 0, and the true wire payload drops to (F+8)/(2F+4) of
+    the bf16 formula per row."""
+    g = synthetic.planted_partition(
+        name="dist-fp8", num_nodes=3000, num_classes=8, avg_degree=10,
+        num_features=32, seed=13)
+    labels = multiconstraint_partition(g.rowptr, g.col, WORLD, seed=0,
+                                       multilevel=False)
+    cfg = RunConfig(
+        train_batch_size=128, test_batch_size=256,
+        train_fanouts=[6, 4], batchwise_test_fanouts=[8, 8],
+        final_test_fanouts=[8, 8], hidden_features=32, num_layers=2,
+        lr=0.01, num_workers=2, calibration_batches=3, seed=0,
+        load_balance_scheme="federated", wire_fp8=True,
+    )
+    t = DistributedTrainer(cfg, g, labels, mesh=make_mesh(WORLD))
+    m0 = t.train_epoch(0)
+    m1 = t.train_epoch(1)
+    m2 = t.train_epoch(2)
+    assert np.isfinite(m0["loss"]) and m2["loss"] < m0["loss"]
+    assert m0["overflow"] == 0 and m0["remote"] > 0
+    F = int(t.features.shape[1])
+    assert m0["wire_bytes"] == m0["iters"] * WORLD * t.r_cap * (F + 4 + 4)
+    acc = t.evaluate("valid")
+    assert acc > 0.4, acc

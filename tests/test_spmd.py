@@ -311,3 +311,58 @@ def test_assemble_features_hot_size(mesh, rng):
     hot_total = sum(int((~((n_ids[d][:48] % 64) >= H)).sum())
                     for d in range(WORLD))
     assert int((st.num_local + st.num_remote).sum()) == hot_total
+
+
+def test_assemble_features_fp8_wire(mesh, rng):
+    """wire_fp8: remote rows round-trip through e4m3 + per-row scale —
+    every element within 2^-4 of the row's amax; local rows stay exact;
+    classification stats unchanged; sent_bytes reflects the fp8 payload."""
+    x, part_offsets = _partitioned_features(rng)
+    V, F = x.shape
+    N_cap, r_cap = 96, 32
+    n_ids, counts = [], []
+    for d in range(WORLD):
+        n = int(rng.integers(40, N_cap))
+        ids = rng.choice(V, size=n, replace=False).astype(np.int32)
+        pad = np.zeros(N_cap, np.int32)
+        pad[:n] = ids
+        n_ids.append(pad)
+        counts.append(n)
+    xs = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("data")))
+
+    def f(fp8, local_shard, n_id, count):
+        out, stats = assemble_features(
+            local_shard, n_id[0], count[0], jnp.asarray(part_offsets),
+            "data", r_cap, wire_fp8=fp8)
+        return out[None], jax.tree_util.tree_map(lambda v: v[None], stats)
+
+    outs, statss = {}, {}
+    for fp8 in (False, True):
+        out, stats = jax.jit(jax.shard_map(
+            lambda a, b, c, fp8=fp8: f(fp8, a, b, c), mesh=mesh,
+            in_specs=(P("data"), P("data"), P("data")),
+            out_specs=(P("data"), P("data")), check_vma=False))(
+            xs, jnp.asarray(np.stack(n_ids)),
+            jnp.asarray(np.asarray(counts, np.int32)))
+        outs[fp8] = np.asarray(out)
+        statss[fp8] = jax.tree_util.tree_map(np.asarray, stats)
+    for d in range(WORLD):
+        n = counts[d]
+        ids = n_ids[d][:n]
+        exact = x[ids]
+        got = outs[True][d, :n]
+        # e4m3 with per-row dynamic-range scaling: RTNE error <= 2^-4 of
+        # the quantization bin, bounded by amax/2^3 per element
+        bound = np.abs(exact).max(axis=1, keepdims=True) / 8 + 1e-6
+        assert np.all(np.abs(got - exact) <= bound)
+        # local rows never touch the wire
+        owner = np.searchsorted(part_offsets[1:], ids, side="right")
+        np.testing.assert_array_equal(got[owner == d], exact[owner == d])
+        assert np.all(outs[True][d, n:] == 0)
+    # classification identical; payload accounting shrinks per row
+    for name in ("num_local", "num_remote", "num_cached", "num_overflow"):
+        np.testing.assert_array_equal(getattr(statss[True], name),
+                                      getattr(statss[False], name))
+    served = statss[False].sent_bytes.sum() / (F * x.dtype.itemsize)
+    assert statss[True].sent_bytes.sum() == pytest.approx(
+        served * (F + 4), rel=1e-6)
