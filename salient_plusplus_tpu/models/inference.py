@@ -8,24 +8,34 @@ previous layer's embeddings, aggregates the chunk's full neighborhoods, and
 functionally scatters the chunk's outputs into the next layer's embedding
 matrix (XLA overlaps the steps).
 
-As in the reference, only the SAGE family and GAT implement it
-(driver/models.py: SAGE:52, SAGEClassic:87, GAT:226; others say "not
-implemented yet").
+The reference only implements it for the SAGE family and GAT
+(driver/models.py: SAGE:52, SAGEClassic:87, GAT:226; GIN/GCN/JKNet/
+SAGEResInception say "not implemented yet"). This framework supports the
+whole zoo except ARMA (broken in the reference itself, driver/main.py:93):
+BatchNorm layers run in eval mode off the trained running statistics
+(pass ``batch_stats``), and multi-layer aggregators (JK max-pool, the
+inception concat head) keep per-layer full-graph embeddings.
 """
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from flax import linen as nn
 
-from ..sampling.batch import BatchSpec
+from ..sampling.batch import BatchSpec, EdgeBlock
 from ..sampling.cpp import NativeSampler
-from .layers import GATConv, SAGEConv
+from .layers import (
+    GATConv, GCNConv, GINConv, MLP, MaskedBatchNorm, SAGEConv,
+)
 
-SUPPORTED = ("SAGE", "SAGEClassic", "GAT")
+SUPPORTED = ("SAGE", "SAGEClassic", "GAT", "GIN", "GCN", "JKNet",
+             "SAGEResInception")
+# models whose layerwise path needs trained BN running statistics
+_NEEDS_BATCH_STATS = ("GIN", "GCN", "JKNet", "SAGEResInception")
 
 
 def _chunk_spec(rowptr: np.ndarray, chunk: int, align: int = 128) -> BatchSpec:
@@ -41,6 +51,26 @@ def _chunk_spec(rowptr: np.ndarray, chunk: int, align: int = 128) -> BatchSpec:
     return BatchSpec((-1,), chunk, (chunk, n_cap), (e_cap,))
 
 
+def _feat_dim(conv_params: Dict) -> int:
+    """Output width of a conv from its parameter shapes."""
+    for key in ("lin_l", "lin_src", "lin", "fc1"):
+        if key in conv_params:
+            return int(np.asarray(conv_params[key]["kernel"]).shape[1])
+    raise KeyError(f"cannot infer feature dim from {list(conv_params)}")
+
+
+def _dense(p: Dict, x, dtype):
+    return nn.Dense(int(np.asarray(p["kernel"]).shape[1]),
+                    use_bias="bias" in p, dtype=dtype).apply(
+        {"params": p}, x)
+
+
+def _bn(p: Dict, stats: Dict, x, dtype):
+    return MaskedBatchNorm(dtype=dtype).apply(
+        {"params": p, "batch_stats": stats}, x,
+        use_running_average=True)
+
+
 def layerwise_inference(
     model_name: str,
     params: Dict,
@@ -51,61 +81,145 @@ def layerwise_inference(
     chunk: int = 4096,
     dtype=jnp.bfloat16,
     device=None,
+    batch_stats: Optional[Dict] = None,
 ) -> jnp.ndarray:
     """Returns final-layer representations for all V nodes (log-probs for
     the classification head layer, matching the reference's usage)."""
     if model_name not in SUPPORTED:
         raise NotImplementedError(
             f"layerwise inference not implemented for {model_name} "
-            f"(reference parity: driver/models.py marks it unimplemented)")
+            "(ARMA is broken in the reference itself, driver/main.py:93)")
+    if model_name in _NEEDS_BATCH_STATS and not batch_stats:
+        raise ValueError(
+            f"{model_name} has BatchNorm layers: pass batch_stats "
+            "(the trained running statistics) for layerwise inference")
     V = len(graph_rowptr) - 1
     native = NativeSampler(np.asarray(graph_rowptr, np.int64),
                            np.asarray(graph_col, np.int32))
     spec = _chunk_spec(graph_rowptr, chunk)
+    bs = batch_stats or {}
+    seed_cap = spec.seed_cap
 
-    use_bias = model_name == "SAGEClassic"
-
-    def make_layer_fn(i: int, feat: int, last: bool):
-        if model_name == "GAT":
-            conv = GATConv(feat, heads=1, use_bias=False, dtype=dtype)
-        else:
-            conv = SAGEConv(feat, use_bias=use_bias, dtype=dtype)
-
+    def propagate(core, emb, feat_out):
+        """One full-graph layer: chunked 1-hop full expansion, functional
+        scatter of each chunk's rows into the [V, feat_out] output (padded
+        seed ids point at V → dropped by the scatter)."""
         @jax.jit
-        def layer_fn(conv_params, emb, n_id, seed_ids, edge_src, edge_dst,
-                     edge_count, out_buf):
+        def chunk_fn(emb, n_id, seed_ids, src, dst, count, out_buf):
             x = jnp.take(emb, n_id, axis=0)
-            x_target = x[:spec.seed_cap]
-            from ..sampling.batch import EdgeBlock
-
-            eb = EdgeBlock(src=edge_src, dst=edge_dst, count=edge_count)
-            h = conv.apply({"params": conv_params}, x, x_target, eb,
-                           spec.seed_cap)
-            if not last:
-                h = jax.nn.relu(h)
+            eb = EdgeBlock(src=src, dst=dst, count=count)
+            h = core(x, eb)
             return out_buf.at[seed_ids].set(h.astype(out_buf.dtype))
 
-        return layer_fn
-
-    emb = x_all
-    for i in range(num_layers):
-        conv_params = params[f"conv{i}"]
-        lin = conv_params.get("lin_l") or conv_params.get("lin_src")
-        feat = int(np.asarray(lin["kernel"]).shape[1])
-        last = i == num_layers - 1
-        layer_fn = make_layer_fn(i, feat, last)
-        out = jnp.zeros((V, feat), emb.dtype)
+        out = jnp.zeros((V, feat_out), emb.dtype)
         for s in range(0, V, chunk):
             ids = np.arange(s, min(s + chunk, V), dtype=np.int64)
             b = native.sample(spec, ids, rng_seed=1)
             assert b.overflow.tolist() == [0, 0]
-            # pad scatter targets with V: out-of-bounds updates are dropped
-            # by jax's scatter, so padded rows never clobber node 0
-            pad_ids = np.full(spec.seed_cap, V, np.int32)
+            pad_ids = np.full(seed_cap, V, np.int32)
             pad_ids[: len(ids)] = ids
             eb = b.edges[0]
-            out = layer_fn(conv_params, emb, jnp.asarray(b.n_id),
-                           jnp.asarray(pad_ids), jnp.asarray(eb.src),
-                           jnp.asarray(eb.dst), jnp.asarray(eb.count), out)
-        emb = out
-    return jax.nn.log_softmax(emb.astype(jnp.float32), axis=-1)
+            out = chunk_fn(emb, jnp.asarray(b.n_id), jnp.asarray(pad_ids),
+                           jnp.asarray(eb.src), jnp.asarray(eb.dst),
+                           jnp.asarray(eb.count), out)
+        return out
+
+    def finish(x):
+        return jax.nn.log_softmax(x.astype(jnp.float32), axis=-1)
+
+    emb = x_all
+
+    if model_name in ("SAGE", "SAGEClassic", "GAT"):
+        use_bias = model_name == "SAGEClassic"
+        for i in range(num_layers):
+            p = params[f"conv{i}"]
+            feat = _feat_dim(p)
+            last = i == num_layers - 1
+            if model_name == "GAT":
+                conv = GATConv(feat, heads=1, use_bias=False, dtype=dtype)
+            else:
+                conv = SAGEConv(feat, use_bias=use_bias, dtype=dtype)
+
+            def core(x, eb, conv=conv, p=p, last=last):
+                h = conv.apply({"params": p}, x, x[:seed_cap], eb, seed_cap)
+                return h if last else nn.relu(h)
+
+            emb = propagate(core, emb, feat)
+        return finish(emb)
+
+    if model_name == "GIN":
+        for i in range(num_layers):
+            p, st = params[f"conv{i}"], bs[f"conv{i}"]
+            feat = _feat_dim(p)
+            conv = GINConv(feat, dtype=dtype)
+
+            def core(x, eb, conv=conv, p=p, st=st):
+                return conv.apply({"params": p, "batch_stats": st},
+                                  x, x[:seed_cap], eb, seed_cap,
+                                  valid_count=None, training=False)
+
+            emb = propagate(core, emb, feat)
+        h = nn.relu(_dense(params["lin1"], emb, dtype))
+        return finish(_dense(params["lin2"], h, dtype))
+
+    if model_name == "GCN":
+        for i in range(num_layers):
+            p = params[f"conv{i}"]
+            feat = _feat_dim(p)
+            last = i == num_layers - 1
+            conv = GCNConv(feat, dtype=dtype)
+            pbn = None if last else params[f"bn{i}"]
+            sbn = None if last else bs[f"bn{i}"]
+
+            def core(x, eb, conv=conv, p=p, pbn=pbn, sbn=sbn, last=last):
+                h = conv.apply({"params": p}, x, eb, seed_cap)
+                if last:
+                    return h
+                return nn.relu(_bn(pbn, sbn, h, dtype))
+
+            emb = propagate(core, emb, feat)
+        return finish(emb)
+
+    if model_name == "JKNet":
+        xs = []
+        for i in range(num_layers):
+            p, pbn = params[f"conv{i}"], params[f"bn{i}"]
+            sbn = bs[f"bn{i}"]
+            feat = _feat_dim(p)
+            conv = SAGEConv(feat, use_bias=False, dtype=dtype)
+
+            def core(x, eb, conv=conv, p=p, pbn=pbn, sbn=sbn):
+                h = conv.apply({"params": p}, x, x[:seed_cap], eb, seed_cap)
+                return nn.relu(_bn(pbn, sbn, h, dtype))
+
+            emb = propagate(core, emb, feat)
+            xs.append(emb)
+        pooled = jnp.max(jnp.stack(xs, axis=0), axis=0)  # JK 'max' mode
+        return finish(_dense(params["lin"], pooled, dtype))
+
+    assert model_name == "SAGEResInception"
+    x0 = x_all.astype(dtype)
+    collect = [x0]
+    emb = x0
+    for i in range(num_layers):
+        p, pbn = params[f"conv{i}"], params[f"bn{i}"]
+        sbn = bs[f"bn{i}"]
+        feat = _feat_dim(p)
+        conv = SAGEConv(feat, use_bias=False, dtype=dtype)
+
+        def core(x, eb, conv=conv, p=p, pbn=pbn, sbn=sbn):
+            h = conv.apply({"params": p}, x, x[:seed_cap], eb, seed_cap)
+            return nn.leaky_relu(_bn(pbn, sbn, h, dtype), 0.01)
+
+        h_all = propagate(core, emb, feat)
+        collect.append(h_all)
+        res = _dense(params["res0"], emb, dtype) if i == 0 else emb
+        emb = h_all + res
+    mlp_p = params["mlp"]
+    out_f = int(np.asarray(mlp_p["fc1"]["kernel"]).shape[1])
+    hid_f = int(np.asarray(mlp_p["fc0"]["kernel"]).shape[1])
+    head = MLP(hidden_dim=hid_f, embed_dim=out_f, num_layers=2, bn=True,
+               end_up_with_fc=True, act="leakyrelu", dtype=dtype)
+    out = head.apply({"params": mlp_p},
+                     jnp.concatenate(collect, axis=-1), training=False)
+    return finish(out)

@@ -11,11 +11,16 @@ from salient_plusplus_tpu.models.inference import layerwise_inference
 from salient_plusplus_tpu.sampling import BatchSpec, multilayer_sample_np, pad_sample
 
 
-def test_layerwise_inference_matches_full_sampling(tiny_graph):
+@pytest.mark.parametrize(
+    "name", ["SAGE", "SAGEClassic", "GAT", "GIN", "GCN", "JKNet",
+             "SAGEResInception"])
+def test_layerwise_inference_matches_full_sampling(tiny_graph, name):
     """Layer-wise full-graph inference must equal a full-expansion sampled
-    forward for any seed set (both see all edges)."""
+    forward for any seed set (both see all edges). The reference only
+    supports SAGE/SAGEClassic/GAT (driver/models.py); this covers the whole
+    zoo (BN models run off init-time running stats in both paths)."""
     g = tiny_graph
-    model = make_model("SAGE", g.num_features, 16, g.num_classes, 2,
+    model = make_model(name, g.num_features, 16, g.num_classes, 2,
                        dtype=jnp.float32)
     # init with a full-expansion batch
     seeds = g.split_idx["valid"][:16]
@@ -29,8 +34,10 @@ def test_layerwise_inference_matches_full_sampling(tiny_graph):
     variables = model.init(jax.random.key(0), xb, b, training=False)
     out_sampled = np.asarray(model.apply(variables, xb, b, training=False))
 
-    emb = layerwise_inference("SAGE", variables["params"], g.rowptr, g.col,
-                              x_feats, num_layers=2, chunk=128, dtype=jnp.float32)
+    emb = layerwise_inference(
+        name, variables["params"], g.rowptr, g.col, x_feats, num_layers=2,
+        chunk=128, dtype=jnp.float32,
+        batch_stats=variables.get("batch_stats"))
     out_layerwise = np.asarray(emb)[seeds]
     np.testing.assert_allclose(out_sampled[:16], out_layerwise,
                                rtol=2e-3, atol=2e-3)
@@ -38,7 +45,7 @@ def test_layerwise_inference_matches_full_sampling(tiny_graph):
 
 def test_layerwise_inference_unsupported():
     with pytest.raises(NotImplementedError):
-        layerwise_inference("GIN", {}, np.zeros(2, np.int64),
+        layerwise_inference("ARMA", {}, np.zeros(2, np.int64),
                             np.zeros(0, np.int32), None, 2)
 
 
