@@ -97,6 +97,14 @@ class RunConfig:
     # shipped ids can reach 2^24 (e.g. gsrc mode on >16M-node graphs)
     pack_wire: bool = True
 
+    # --- final inference (driver/main.py:220-245) ---
+    # "batchwise" = sampled eval at final_test_fanouts (the reference's
+    # only live path, base.py:430-432 asserts layerwise out);
+    # "layerwise" = exact full-graph layer-at-a-time inference
+    # (models/inference.py; needs hbm_fraction=1, else falls back)
+    final_test_mode: str = "batchwise"
+    inference_chunk: int = 4096       # seeds per layerwise chunk
+
     # --- precision ---
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"

@@ -410,6 +410,37 @@ class Trainer:
                             self.eval_cold_floor[key])
         return correct / max(total, 1)
 
+    def evaluate_layerwise(self, splits=("valid", "test")):
+        """Exact full-graph accuracy via layer-wise inference
+        (models/inference.py; reference models.py:441-495 — gated out of
+        the reference's own driver at base.py:430-432, first-class here).
+        One pass computes every node's representation, so all splits score
+        from the same embeddings. Requires fully HBM-resident features;
+        falls back to batchwise eval otherwise (and for ARMA)."""
+        from ..models.inference import layerwise_inference
+
+        if self.hot_cutoff is not None:
+            self.logger.log("LAYERWISE_NEEDS_FULL_HBM_FALLBACK")
+            return {s: self.evaluate(s) for s in splits}
+        try:
+            emb = layerwise_inference(
+                self.cfg.model_name, self.state.params, self.graph.rowptr,
+                self.graph.col, self.features, self.cfg.num_layers,
+                chunk=self.cfg.inference_chunk,
+                batch_stats=self.state.batch_stats)
+        except NotImplementedError:
+            self.logger.log("LAYERWISE_UNSUPPORTED_FALLBACK",
+                            self.cfg.model_name)
+            return {s: self.evaluate(s) for s in splits}
+        pred = emb.argmax(-1).astype(jnp.int32)
+        y = jnp.asarray(np.asarray(self.graph.y, np.int32))
+        out = {}
+        for s in splits:
+            idx = jnp.asarray(self.graph.split_idx[s])
+            out[s] = float((jnp.take(pred, idx) == jnp.take(y, idx)).mean())
+            self.logger.log("layerwise_acc", s, out[s])
+        return out
+
     def run_trial(self, trial: int = 0,
                   checkpoint_dir: Optional[str] = None) -> TrialResult:
         """Epoch loop with best-validation tracking (driver/main.py:188-245)."""
@@ -448,8 +479,13 @@ class Trainer:
             params, batch_stats = best_state
             self.state = self.state.replace(params=params,
                                             batch_stats=batch_stats)
-        res.final_valid_acc = self.evaluate("valid")
-        res.final_test_acc = self.evaluate("test")
+        if cfg.final_test_mode == "layerwise":
+            accs = self.evaluate_layerwise(("valid", "test"))
+            res.final_valid_acc = accs["valid"]
+            res.final_test_acc = accs["test"]
+        else:
+            res.final_valid_acc = self.evaluate("valid")
+            res.final_test_acc = self.evaluate("test")
         self.logger.log("trial_result", trial, res.best_epoch,
                         res.final_valid_acc, res.final_test_acc)
         return res

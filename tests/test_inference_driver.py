@@ -167,3 +167,23 @@ def test_driver_distributed_resume(tmp_path, monkeypatch):
     # epoch 0/1 epoch_time lines appear once (first run), epoch 2 from
     # the resumed run
     assert "('epoch_time', 0, 2," in log
+
+
+def test_trainer_layerwise_final_test(tiny_graph, tmp_path):
+    """final_test_mode=layerwise: the trial's final accuracies come from
+    exact full-graph inference and agree with batchwise eval."""
+    from salient_plusplus_tpu.config import RunConfig
+    from salient_plusplus_tpu.train.loop import Trainer
+
+    g = tiny_graph
+    cfg = RunConfig(
+        train_batch_size=64, test_batch_size=128,
+        train_fanouts=[5, 3], batchwise_test_fanouts=[8, 8],
+        final_test_fanouts=[8, 8], num_layers=2, hidden_features=16,
+        num_workers=1, calibration_batches=2, lr=0.01, epochs=2,
+        final_test_mode="layerwise", inference_chunk=128)
+    t = Trainer(cfg, g)
+    res = t.run_trial(0)
+    batchwise = t.evaluate("test")
+    assert res.final_test_acc > 0.7
+    assert abs(res.final_test_acc - batchwise) < 0.15
