@@ -169,6 +169,11 @@ def run_computation(cfg, graph, job_dir: str, logger):
                 params, batch_stats = trainer._replicate(best_snapshot)
                 trainer.state = trainer.state.replace(
                     params=params, batch_stats=batch_stats)
+            if cfg.final_test_mode == "layerwise":
+                # layerwise inference is a single-host full-HBM path; the
+                # partitioned-feature trainer scores batchwise — say so
+                # instead of silently ignoring the requested mode
+                logger.log("LAYERWISE_UNAVAILABLE_DISTRIBUTED_FALLBACK")
             final_valid = trainer.evaluate("valid")
             final_test = trainer.evaluate("test")
         else:

@@ -19,6 +19,7 @@ inception concat head) keep per-layer full-graph embeddings.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional
 
 import jax
@@ -104,7 +105,9 @@ def layerwise_inference(
         """One full-graph layer: chunked 1-hop full expansion, functional
         scatter of each chunk's rows into the [V, feat_out] output (padded
         seed ids point at V → dropped by the scatter)."""
-        @jax.jit
+        # donate out_buf: without it XLA copies the whole [V, feat]
+        # matrix on every chunk (O(V^2·F/chunk) HBM traffic at scale)
+        @functools.partial(jax.jit, donate_argnums=(6,))
         def chunk_fn(emb, n_id, seed_ids, src, dst, count, out_buf):
             x = jnp.take(emb, n_id, axis=0)
             eb = EdgeBlock(src=src, dst=dst, count=count)
@@ -181,7 +184,8 @@ def layerwise_inference(
         return finish(emb)
 
     if model_name == "JKNet":
-        xs = []
+        pooled = None  # JK 'max' mode as a running accumulator: O(V·H)
+        #               instead of keeping all L full-graph embeddings
         for i in range(num_layers):
             p, pbn = params[f"conv{i}"], params[f"bn{i}"]
             sbn = bs[f"bn{i}"]
@@ -193,8 +197,7 @@ def layerwise_inference(
                 return nn.relu(_bn(pbn, sbn, h, dtype))
 
             emb = propagate(core, emb, feat)
-            xs.append(emb)
-        pooled = jnp.max(jnp.stack(xs, axis=0), axis=0)  # JK 'max' mode
+            pooled = emb if pooled is None else jnp.maximum(pooled, emb)
         return finish(_dense(params["lin"], pooled, dtype))
 
     assert model_name == "SAGEResInception"

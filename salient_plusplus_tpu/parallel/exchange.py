@@ -84,13 +84,18 @@ def _fp8_wire_exchange(served: jnp.ndarray, axis_name: str) -> jnp.ndarray:
     amax = jnp.max(jnp.abs(served.astype(jnp.float32)), axis=-1,
                    keepdims=True)                          # [w, r, 1] f32
     scale = jnp.where(amax > 0, _FP8_MAX / amax, 1.0)
-    wire = (served.astype(jnp.float32) * scale).astype(jnp.float8_e4m3fn)
-    wire = jax.lax.bitcast_convert_type(wire, jnp.uint8)
+    rows8 = (served.astype(jnp.float32) * scale).astype(jnp.float8_e4m3fn)
+    # one fused collective: [w, r, F] fp8 rows + the 4 amax bytes per row
+    # (exactly the F+4 bytes/row wire_row_bytes accounts for)
+    wire = jnp.concatenate(
+        [jax.lax.bitcast_convert_type(rows8, jnp.uint8),
+         jax.lax.bitcast_convert_type(amax, jnp.uint8).reshape(w, r, 4)],
+        axis=-1)
     wire = jax.lax.all_to_all(wire, axis_name, split_axis=0,
                               concat_axis=0, tiled=True)
-    amax = jax.lax.all_to_all(amax, axis_name, split_axis=0,
-                              concat_axis=0, tiled=True)
-    rows = jax.lax.bitcast_convert_type(wire, jnp.float8_e4m3fn)
+    rows = jax.lax.bitcast_convert_type(wire[..., :f], jnp.float8_e4m3fn)
+    amax = jax.lax.bitcast_convert_type(
+        wire[..., f:].reshape(w, r, 1, 4), jnp.float32)  # -> [w, r, 1]
     return (rows.astype(jnp.float32) * (amax / _FP8_MAX)
             ).astype(served.dtype)
 

@@ -479,6 +479,10 @@ class Trainer:
             params, batch_stats = best_state
             self.state = self.state.replace(params=params,
                                             batch_stats=batch_stats)
+        if cfg.final_test_mode not in ("batchwise", "layerwise"):
+            raise ValueError(
+                f"final_test_mode={cfg.final_test_mode!r}: expected "
+                "'batchwise' or 'layerwise'")
         if cfg.final_test_mode == "layerwise":
             accs = self.evaluate_layerwise(("valid", "test"))
             res.final_valid_acc = accs["valid"]
