@@ -94,10 +94,22 @@ def main():
     num_nodes = int(os.environ.get("BENCH_NUM_NODES", 1_000_000))
     steps = int(os.environ.get("BENCH_STEPS", 60))
     warmup = int(os.environ.get("BENCH_WARMUP", 60))
+    # >HBM regime: hot prefix in HBM, cold tail served from host RAM by
+    # the sampler threads (gpu_percent analog, base.py:107-116). 1.0 = all
+    # features HBM-resident (the default single-chip configuration).
+    hbm_fraction = float(os.environ.get("BENCH_HBM_FRACTION", 1.0))
 
     g = synthetic.powerlaw_graph(
         name="bench-products", num_nodes=num_nodes, avg_degree=15,
         num_features=100, num_classes=47, seed=0)
+    if hbm_fraction < 1.0:
+        # production precondition of the hot/cold split: datasets are
+        # VIP-reordered so the HBM prefix absorbs most accesses (the
+        # reference's reorder_and_save + gpu_percent pairing,
+        # dataset.py:300-320 + base.py:107-116)
+        from salient_plusplus_tpu.data.reorder import hot_order_graph
+
+        g, _ = hot_order_graph(g)
 
     cfg = RunConfig(
         train_batch_size=1024, train_fanouts=[15, 10, 5],
@@ -119,6 +131,7 @@ def main():
                                          RunConfig.spec_safety)),
         spec_buckets=int(os.environ.get("BENCH_BUCKETS",
                                         RunConfig.spec_buckets)),
+        hbm_fraction=hbm_fraction,
     )
     trainer = Trainer(cfg, g)
 
@@ -185,14 +198,52 @@ def main():
     import sys
 
     spec = trainer.train_spec
+    tight_frac = it.stats.tight_batches / max(it.stats.batches, 1)
+    n_batches = max(it.stats.batches, 1)
+    edges_per_batch = feeder.edges_fed / max(n, 1)
+    bytes_per_batch = feeder.bytes_fed / max(n, 1)
+
+    # --- gather-roofline (the "speed-of-light is checkable" statement) ---
+    # The step is bound by XLA's unsorted row gathers at ~11.6 ns/row on
+    # this chip (chained microbenchmark, PERF_NOTES.md "Where the round-1
+    # gap actually was"; full-tile-read behavior, width-independent up to
+    # 128 lanes). Rows gathered per step, from the CAPACITY shapes the
+    # compiled program actually executes (tight-bucket weighted):
+    #   gsrc mode:   prefix(node_caps[L-1]) + outer-hop msgs(edge_caps[-1])
+    #                + 2x inner-hop msgs (fwd + bwd mirrors)
+    #   frontier mode: full frontier + all fwd msgs + inner bwd mirrors
+    # The model is gather-only (MXU segment kernels add ~2 ns/edge on top),
+    # so roofline_edges_per_s is an UPPER bound and roofline_frac =
+    # value / roofline is a conservative fraction-of-light.
+    def gather_rows(s):
+        L = s.num_hops
+        inner = sum(s.edge_caps[: L - 1])
+        if trainer.global_msg0:
+            return s.node_caps[L - 1] + s.edge_caps[L - 1] + 2 * inner
+        return s.total_node_cap + sum(s.edge_caps) + inner
+
+    rows_step = gather_rows(spec)
+    if trainer.train_tight is not None:
+        rows_step = (tight_frac * gather_rows(trainer.train_tight)
+                     + (1 - tight_frac) * rows_step)
+    t_floor = rows_step * 11.6e-9
+    roofline_eps = edges_per_batch / t_floor
+    # H2D demand vs the tunnel's measured sustained credit (~160 MB/s,
+    # PERF_NOTES.md): a window whose byte-rate exceeds the credit measures
+    # the tunnel, not the chip — the tunnel-vs-chip distinction, in-JSON.
+    h2d_required = [w / max(edges_per_batch, 1) * bytes_per_batch / 1e6
+                    for w in windows]
+
     print(f"windows(M/s)={[round(w / 1e6, 2) for w in windows]} "
           f"feeder_starved={feeder.starved_dur:.2f}s/"
           f"{feeder.starved_occasions} "
           f"sampler_blocked={it.stats.total_blocked_dur:.2f}s "
           f"sample_time={it.stats.sample_time:.1f}s "
+          f"bytes/batch={bytes_per_batch / 1e6:.2f}MB "
+          f"roofline={roofline_eps / 1e6:.1f}M e/s "
           f"pad_waste_nodes={it.stats.node_waste(spec.total_node_cap):.3f} "
           f"pad_waste_edges={it.stats.edge_waste(sum(spec.edge_caps)):.3f} "
-          f"tight_frac={it.stats.tight_batches / max(it.stats.batches, 1):.3f}",
+          f"tight_frac={tight_frac:.3f}",
           file=sys.stderr)
     print(json.dumps({
         "metric": "train_edges_per_s_per_chip",
@@ -202,10 +253,32 @@ def main():
         # window-by-window evidence: best-window reporting under the
         # remote tunnel's ±30% state variance needs the full picture
         "windows_edges_per_s": [round(w, 1) for w in windows],
+        "window_min": round(min(windows), 1),
+        "window_median": round(float(np.median(windows)), 1),
+        "vs_baseline_min": round(min(windows) / BASELINE_EDGES_PER_S, 4),
+        # fraction of the 11.6 ns/row gather-bound ceiling (see stderr
+        # derivation above; >1 impossible, ~1 = at speed-of-light for
+        # this step formulation)
+        "roofline_edges_per_s": round(roofline_eps, 1),
+        "roofline_frac": round(eps / roofline_eps, 4),
+        "gather_rows_per_step": int(rows_step),
+        # tunnel-vs-chip: windows needing more H2D MB/s than the remote
+        # tunnel's sustained credit (~160 MB/s measured, PERF_NOTES.md)
+        # are throttled by the link, not the chip
+        "h2d_required_mb_per_s": [round(r, 1) for r in h2d_required],
+        "bytes_per_batch": int(bytes_per_batch),
+        "hbm_fraction": hbm_fraction,
+        # >HBM host-tier stats: rows served from host RAM per batch, and
+        # the shipped cold buffer's share of the H2D wire (the buffer is
+        # the static cold_cap — padded rows ship too)
+        "cold_rows_per_batch": round(
+            it.stats.cold_rows / n_batches, 1),
+        "cold_bytes_share": round(
+            trainer.train_sampler.cfg.cold_cap
+            * 2 * trainer.features.shape[1] / max(bytes_per_batch, 1), 4),
         "pad_waste_nodes": round(it.stats.node_waste(spec.total_node_cap), 4),
         "pad_waste_edges": round(it.stats.edge_waste(sum(spec.edge_caps)), 4),
-        "tight_frac": round(
-            it.stats.tight_batches / max(it.stats.batches, 1), 4),
+        "tight_frac": round(tight_frac, 4),
     }))
 
 

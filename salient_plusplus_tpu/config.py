@@ -124,6 +124,25 @@ class RunConfig:
     # for in-flight saves before exit)
     async_checkpoint: bool = False
 
+    def __post_init__(self):
+        # fail-fast enum validation: a typo'd mode string must die at
+        # config construction, not after a full training run (it used to
+        # be checked only at the end of run_trial)
+        checks = {
+            "final_test_mode": ("batchwise", "layerwise"),
+            "execution_mode": ("computation", "communication_simulation"),
+            "computation_mode": ("normal", "frequency_cache"),
+            "load_balance_scheme": ("fully_random", "federated"),
+            "cold_mode": ("owner", "replicated"),
+            "train_sampler": ("FastSampler", "FastPreSampler",
+                              "OracleSampler"),
+        }
+        for name, allowed in checks.items():
+            v = getattr(self, name)
+            if v not in allowed:
+                raise ValueError(
+                    f"{name}={v!r}: expected one of {allowed}")
+
     @property
     def effective_patience(self) -> int:
         """LR-scheduler patience: --patience wins when given (including 0),

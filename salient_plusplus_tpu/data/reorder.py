@@ -117,3 +117,32 @@ def reorder_and_save(graph: GraphData, partition_ids: np.ndarray,
     relabel + shard + save to the on-disk partitioned format."""
     pg, x_shards, _ = reorder_graph(graph, partition_ids, vip_weights, align)
     return pg.save_partitioned(root, x_shards)
+
+
+def hot_order_graph(
+    graph: GraphData,
+    weights: Optional[np.ndarray] = None,
+) -> Tuple[GraphData, np.ndarray]:
+    """Single-host hot-prefix relabeling: sort ALL vertices by descending
+    access weight so ``x[:V*f]`` is the hottest prefix — the production
+    precondition of the ``hbm_fraction`` split (the reference sorts within
+    each partition by VIP weight for exactly this purpose,
+    driver/dataset.py:300-320; k=1 here). ``weights`` defaults to the
+    analytic VIP access probability of the training sampling process.
+
+    Returns (relabeled GraphData, old→new id map).
+    """
+    if weights is None:
+        from ..caching.vip import vip_analytical
+
+        weights = vip_analytical(graph.rowptr, graph.col,
+                                 [graph.split_idx["train"]],
+                                 1024, [15, 10, 5])[0]
+    pg, x_shards, old2new = reorder_graph(
+        graph, np.zeros(graph.num_nodes, np.int32),
+        np.asarray(weights, np.float64), equal_shards=False)
+    g = GraphData(
+        name=f"{graph.name}-hotordered",
+        rowptr=pg.rowptr, col=pg.col, x=x_shards[0], y=pg.y,
+        split_idx=pg.split_idx, num_classes=graph.num_classes)
+    return g, old2new

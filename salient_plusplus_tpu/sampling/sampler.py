@@ -67,6 +67,7 @@ class SamplerStats:
     dropped_nodes: int = 0
     dropped_edges: int = 0
     dropped_cold: int = 0    # cold-tier rows over the cold budget
+    cold_rows: int = 0       # host-tier rows served (gathered + shipped)
     # static-shape padding accounting (padded rows cost real device time):
     # waste fraction = 1 − real/padded, where padded sums each batch's OWN
     # bucket caps (2-bucket batches pay the tight caps, not the big ones)
@@ -230,6 +231,8 @@ class FastSamplerIter:
         self.stats.dropped_edges += int(bufs.overflow[1])
         self.stats.real_nodes += int(bufs.level_sizes[-1])
         self.stats.real_edges += int(bufs.edge_counts.sum())
+        if getattr(bufs, "cold_pos", None) is not None:
+            self.stats.cold_rows += int(bufs.cold_count)
         eff = bufs.bucket or bufs.spec
         self.stats.padded_nodes += eff.total_node_cap
         self.stats.padded_edges += sum(eff.edge_caps)

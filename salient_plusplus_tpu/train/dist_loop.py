@@ -82,10 +82,16 @@ class DistributedTrainer:
             assert pg.num_parts == self.world
         from ..data.dataset import pad_feature_dim
 
-        # lane-align the feature dim once (MXU kernel DMA requirement)
-        x_local = [pad_feature_dim(np.asarray(s)) for s in x_local]
+        # lane-align the feature dim once (MXU kernel DMA requirement) and
+        # convert to bf16 on host: the HBM table is bf16 anyway, and the
+        # cold tiers ship/serve raw rows — fp32 would double their bytes
+        def _prep(s):
+            s = pad_feature_dim(np.asarray(s))
+            return s if s.dtype == jnp.bfloat16 else s.astype(jnp.bfloat16)
+
+        x_local = [_prep(s) for s in x_local]
         if x_all is not None:
-            x_all = [pad_feature_dim(np.asarray(s)) for s in x_all]
+            x_all = [_prep(s) for s in x_all]
         self.pg = pg
         self.old2new = old2new
         self.batch_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
@@ -133,8 +139,7 @@ class DistributedTrainer:
         # row-sharded features: each host contributes its local partitions'
         # (equal-size) shards
         local_rows = np.concatenate(
-            [np.asarray(s) for s in x_local], axis=0).astype(np.float32)
-        local_rows = local_rows.astype(jnp.bfloat16)
+            [np.asarray(s) for s in x_local], axis=0)
         if jax.process_count() == 1:
             self.features = jax.device_put(jnp.asarray(local_rows),
                                            self.batch_sharding)
@@ -734,12 +739,21 @@ class DistributedTrainer:
             e_cold_rcap = (self._calibrate_cold_r_cap(
                 espec, pool=self.pg.split_idx[split])
                 if self._owner_cold else 0)
+            # replicated-mode per-batch cold budget: calibrate ONCE per
+            # (split, spec) — at papers100M scale re-probing on every
+            # evaluate() call is repeated full-frontier sampling
+            e_cold_cap = (self._calibrate_cold_cap(
+                espec, pool=self.pg.split_idx[split])
+                if self.hot_size is not None and not self._owner_cold
+                else 0)
             estep = make_spmd_eval_step(
                 self.mesh, "partitioned", r_cap=e_rcap,
                 with_cache=self.cache is not None, hot_size=self.hot_size,
                 wire_fp8=self.cfg.wire_fp8)
-            self.eval_specs[key] = (espec, estep, e_cold_rcap, e_rcap)
-        spec, eval_step, e_cold_rcap, e_rcap = self.eval_specs[key]
+            self.eval_specs[key] = (espec, estep, e_cold_rcap, e_rcap,
+                                    e_cold_cap)
+        spec, eval_step, e_cold_rcap, e_rcap, e_cold_cap = \
+            self.eval_specs[key]
         its = []
         for d in self.local_ranks:
             idx = self.pg.split_idx_parts[d][split]
@@ -752,10 +766,7 @@ class DistributedTrainer:
                     max_batches_in_flight=2,
                     exact_num_batches=n_iters,
                     x_cold=self.x_cold,
-                    cold_cap=(self._calibrate_cold_cap(
-                        spec, pool=self.pg.split_idx[split])
-                        if self.hot_size is not None
-                        and not self._owner_cold else 0),
+                    cold_cap=e_cold_cap,
                     cold_part_size=(self.part_size if self.hot_size
                                     is not None else None),
                     cold_hot_size=self.hot_size,
@@ -821,10 +832,19 @@ class DistributedTrainer:
                 espec2, pool=self.pg.split_idx[split]),
                 int(-(-int(e_cold_rcap * 1.25) // 128) * 128))
                 if self._owner_cold else 0)
+            e_cold_cap2 = e_cold_cap
+            if drop_c and self.hot_size is not None \
+                    and not self._owner_cold:
+                # the probe already underestimated once — grow ≥1.25x
+                e_cold_cap2 = max(
+                    self._calibrate_cold_cap(
+                        espec2, pool=self.pg.split_idx[split]),
+                    int(-(-int(e_cold_cap * 1.25) // 128) * 128))
             self.eval_specs[key] = (espec2, make_spmd_eval_step(
                 self.mesh, "partitioned", r_cap=e_rcap2,
                 with_cache=self.cache is not None,
                 hot_size=self.hot_size,
-                wire_fp8=self.cfg.wire_fp8), e_cold2, e_rcap2)
+                wire_fp8=self.cfg.wire_fp8), e_cold2, e_rcap2,
+                e_cold_cap2)
             self.logger.log("EVAL_SPEC_GROWN", split)
         return correct / max(total, 1)

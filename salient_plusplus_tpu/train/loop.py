@@ -146,6 +146,10 @@ class Trainer:
         # per-split cold-cap floor: grown after a dropping evaluate() (the
         # per-call probe calibration alone can recur the same shortfall)
         self.eval_cold_floor: Dict[tuple, int] = {}
+        # per-split calibrated cold cap — probe ONCE per (split, spec),
+        # not on every evaluate() call (probe sampling is expensive at
+        # eval-spec frontier sizes)
+        self.eval_cold_base: Dict[tuple, int] = {}
 
         # hot/cold feature split (gpu_percent analog, base.py:107-116):
         # the hot prefix lives in HBM; the cold tail stays in host RAM and
@@ -157,6 +161,12 @@ class Trainer:
         from ..data.dataset import pad_feature_dim
 
         x_np = pad_feature_dim(np.asarray(graph.x))
+        # host-side bf16 once: the HBM table is bf16 anyway, and the cold
+        # tier ships raw rows host→device — fp32 cold rows would double
+        # the dominant >HBM wire payload (measured 11.6→6.2 MB/batch at
+        # hbm_fraction=0.5 on the bench shape)
+        if x_np.dtype != jnp.bfloat16:
+            x_np = x_np.astype(jnp.bfloat16)
         if self.hot_cutoff is not None:
             self.x_cold = np.ascontiguousarray(x_np[self.hot_cutoff:])
             cold_cap = self._calibrate_cold_cap(train_idx)
@@ -228,6 +238,8 @@ class Trainer:
 
     def train_epoch(self, epoch: int) -> float:
         cfg = self.cfg
+        if cfg.train_sampler == "OracleSampler":
+            return self._train_epoch_oracle(epoch)
         self.train_sampler.set_epoch(self.shuffler.get_idx(epoch), epoch)
         if cfg.train_sampler == "FastPreSampler":
             return self._train_epoch_presampled(epoch)
@@ -328,6 +340,45 @@ class Trainer:
         self.logger.log("epoch", epoch, "loss", mean_loss)
         return mean_loss
 
+    def _train_epoch_oracle(self, epoch: int) -> float:
+        """OracleSampler path (--train_sampler OracleSampler): train
+        through the independent pure-numpy sampler (sampling/oracle.py) —
+        the cross-check role PyG NeighborSampler plays in the reference
+        (`--train_sampler NeighborSampler`, driver/drivers/base.py:206-210,
+        fast_trainer/train.py:136-220): a full accuracy curve from a
+        second, independently-implemented sampler validates the native
+        sampling + padding + step stack end-to-end, not just per-batch."""
+        from ..sampling.oracle import multilayer_sample_np, pad_sample
+
+        if self.hot_cutoff is not None:
+            raise ValueError(
+                "OracleSampler requires hbm_fraction=1 (it has no host "
+                "cold tier); use it as the all-HBM cross-check path")
+        cfg = self.cfg
+        idx = self.shuffler.get_idx(epoch)
+        y = np.asarray(self.graph.y, np.int32)
+        spec = self.train_spec
+        rng = np.random.default_rng(cfg.seed * 9176 + epoch)
+        losses = []
+        bs = cfg.train_batch_size
+        with self.stats.region("train_epoch"):
+            for s in range(0, len(idx) - bs + 1, bs):
+                res = multilayer_sample_np(
+                    self.graph.rowptr, self.graph.col,
+                    np.sort(idx[s:s + bs]), spec.fanouts, rng,
+                    node_caps=spec.node_caps, edge_caps=spec.edge_caps)
+                batch = jax.device_put(pad_sample(res, spec, y),
+                                       self.device)
+                self.state, loss = self.train_step(
+                    self.state, self.features, batch)
+                losses.append(loss)
+            jax.block_until_ready(self.state.params)
+        self.stats.end_epoch()
+        mean_loss = float(np.mean(jax.device_get(losses)))
+        self.logger.log("epoch", epoch, "loss", mean_loss,
+                        "sampler", "oracle")
+        return mean_loss
+
     def _eval_sampler(self, split: str) -> FastSampler:
         cfg = self.cfg
         fanouts = (cfg.final_test_fanouts if split == "test"
@@ -344,10 +395,14 @@ class Trainer:
             self.eval_specs[key] = out if isinstance(out, tuple) \
                 else (out, None)
         spec, tight = self.eval_specs[key]
-        cold_cap = (max(self._calibrate_cold_cap(self.graph.split_idx[split],
-                                                 spec),
-                        self.eval_cold_floor.get(key, 0))
-                    if self.hot_cutoff is not None else 0)
+        if self.hot_cutoff is not None:
+            if key not in self.eval_cold_base:
+                self.eval_cold_base[key] = self._calibrate_cold_cap(
+                    self.graph.split_idx[split], spec)
+            cold_cap = max(self.eval_cold_base[key],
+                           self.eval_cold_floor.get(key, 0))
+        else:
+            cold_cap = 0
         # shuffle eval seeds (accuracy is order-independent): sorted split
         # slices would otherwise form degree/VIP-correlated batches that
         # need far larger caps than random ones
@@ -395,6 +450,8 @@ class Trainer:
             # computed on zero-filled rows — the log line flags it)
             spec, tight = self.eval_specs[key]
             self.eval_specs[key] = (spec.grown(), tight)
+            # the grown spec has larger frontiers — recalibrate its cold cap
+            self.eval_cold_base.pop(key, None)
             self.logger.log("EVAL_SPEC_GROWN", split)
         if it.stats.dropped_cold:
             # over-cold-budget rows zero-filled — raise this split's
@@ -427,6 +484,7 @@ class Trainer:
                 self.cfg.model_name, self.state.params, self.graph.rowptr,
                 self.graph.col, self.features, self.cfg.num_layers,
                 chunk=self.cfg.inference_chunk,
+                dtype=jnp.dtype(self.cfg.compute_dtype),
                 batch_stats=self.state.batch_stats)
         except NotImplementedError:
             self.logger.log("LAYERWISE_UNSUPPORTED_FALLBACK",
@@ -479,10 +537,7 @@ class Trainer:
             params, batch_stats = best_state
             self.state = self.state.replace(params=params,
                                             batch_stats=batch_stats)
-        if cfg.final_test_mode not in ("batchwise", "layerwise"):
-            raise ValueError(
-                f"final_test_mode={cfg.final_test_mode!r}: expected "
-                "'batchwise' or 'layerwise'")
+        # final_test_mode is validated at config construction (fail-fast)
         if cfg.final_test_mode == "layerwise":
             accs = self.evaluate_layerwise(("valid", "test"))
             res.final_valid_acc = accs["valid"]

@@ -49,6 +49,7 @@ class DeviceFeeder:
         # the hot loop — on remote-attached TPUs every D2H is a round-trip)
         self.edges_fed = 0
         self.seeds_fed = 0
+        self.bytes_fed = 0  # H2D wire bytes (sum of shipped leaf sizes)
         # On the CPU backend device_put zero-copies aligned numpy arrays —
         # the "device" array aliases the pooled sampler buffer, so recycling
         # would corrupt batches still in use. Copy in that case; on TPU the
@@ -64,6 +65,9 @@ class DeviceFeeder:
         self.edges_fed += int(bufs.edge_counts.sum())
         self.seeds_fed += int(bufs.seed_count)
         host_batch = bufs.to_padded_batch(bufs.bucket)
+        self.bytes_fed += sum(
+            leaf.nbytes for leaf in jax.tree_util.tree_leaves(host_batch)
+            if hasattr(leaf, "nbytes"))
         if self._needs_copy:
             import numpy as _np
 

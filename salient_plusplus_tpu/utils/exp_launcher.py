@@ -89,3 +89,32 @@ class ExpLauncher:
         out = subprocess.run(["sbatch", os.path.join(job_dir, "run.sh")],
                              capture_output=True, text=True, check=True)
         return out.stdout.strip()
+
+    def wait_slurm(self, submit_output: str, poll_s: float = 10.0,
+                   timeout_s: Optional[float] = None,
+                   _poll_cmd=None) -> bool:
+        """Poll squeue until the submitted job leaves the queue — the
+        reference launcher's completion wait (exp_driver.py:209-221).
+        ``submit_output`` is submit_slurm's return ("Submitted batch job
+        <id>"). Returns True when the job finished, False on timeout.
+        ``_poll_cmd(job_id) -> bool-still-queued`` is injectable for
+        tests (no SLURM in CI)."""
+        job_id = submit_output.strip().split()[-1]
+
+        def squeue_has(jid: str) -> bool:
+            out = subprocess.run(["squeue", "-h", "-j", jid],
+                                 capture_output=True, text=True)
+            return bool(out.stdout.strip())
+
+        poll = _poll_cmd or squeue_has
+        t0 = time.monotonic()
+        while poll(job_id):
+            if timeout_s is not None and time.monotonic() - t0 > timeout_s:
+                return False
+            time.sleep(poll_s)
+        return True
+
+    def submit_and_wait(self, job_dir: str, poll_s: float = 10.0,
+                        timeout_s: Optional[float] = None) -> bool:
+        return self.wait_slurm(self.submit_slurm(job_dir), poll_s,
+                               timeout_s)

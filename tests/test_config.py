@@ -32,3 +32,22 @@ def test_file_plus_cli_override(tmp_path):
     f.write_text(RunConfig(epochs=7).to_json())
     cfg = RunConfig.from_args(["--config_file", str(f), "--epochs", "9"])
     assert cfg.epochs == 9
+
+
+def test_invalid_enums_fail_fast():
+    """A typo'd mode string must die at config construction, not after a
+    full training run (ADVICE r2)."""
+    import pytest
+
+    from salient_plusplus_tpu.config import RunConfig
+
+    for field, bad in [("final_test_mode", "layerwize"),
+                       ("execution_mode", "sim"),
+                       ("computation_mode", "freq"),
+                       ("load_balance_scheme", "random"),
+                       ("cold_mode", "remote"),
+                       ("train_sampler", "NeighborSampler")]:
+        with pytest.raises(ValueError):
+            RunConfig(**{field: bad})
+        with pytest.raises(ValueError):
+            RunConfig().replace(**{field: bad})

@@ -210,3 +210,24 @@ def test_spec_grows_after_cap_overflow(small_graph):
             break  # an epoch truncated nothing — self-corrected
     else:
         raise AssertionError("growth never reached a non-truncating spec")
+
+
+def test_oracle_sampler_cross_check(small_graph):
+    """Independent-sampler cross-check path (the reference keeps PyG
+    NeighborSampler trainable end-to-end as its de-facto integration
+    oracle, base.py:206-210, train.py:136-220): training through the
+    pure-numpy oracle sampler must reach comparable accuracy to the
+    native-sampler path on the same task."""
+    cfg = RunConfig(
+        train_batch_size=256, test_batch_size=512,
+        train_fanouts=[8, 5], batchwise_test_fanouts=[10, 10],
+        final_test_fanouts=[10, 10],
+        hidden_features=32, num_layers=2, lr=0.01, epochs=3,
+        num_workers=2, calibration_batches=4, seed=0,
+        train_sampler="OracleSampler",
+    )
+    t = Trainer(cfg, small_graph)
+    losses = [t.train_epoch(e) for e in range(3)]
+    assert losses[-1] < losses[0]
+    acc = t.evaluate("valid")
+    assert acc > 0.5, f"oracle-sampler-trained valid acc {acc}"

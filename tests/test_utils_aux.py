@@ -168,3 +168,22 @@ def test_downloader_fails_fast_without_egress(tmp_path):
         download_partitioned("ogbn-products", 8, str(tmp_path), timeout=2.0)
     with pytest.raises(ValueError):
         download_partitioned("not-a-dataset", 2, str(tmp_path))
+
+
+def test_slurm_wait_polls_until_done():
+    """Launcher job polling (reference exp_driver.py:209-221): wait_slurm
+    polls the queue until the job id disappears."""
+    l = ExpLauncher()
+    state = {"left": 3}
+
+    def fake_poll(jid):
+        assert jid == "4242"
+        state["left"] -= 1
+        return state["left"] > 0
+
+    assert l.wait_slurm("Submitted batch job 4242", poll_s=0.0,
+                        _poll_cmd=fake_poll)
+    assert state["left"] == 0
+    # timeout path
+    assert not l.wait_slurm("Submitted batch job 1", poll_s=0.0,
+                            timeout_s=-1.0, _poll_cmd=lambda j: True)
