@@ -98,6 +98,7 @@ def main():
     # the sampler threads (gpu_percent analog, base.py:107-116). 1.0 = all
     # features HBM-resident (the default single-chip configuration).
     hbm_fraction = float(os.environ.get("BENCH_HBM_FRACTION", 1.0))
+    cold_fp8 = os.environ.get("BENCH_COLD_FP8", "0") == "1"
 
     g = synthetic.powerlaw_graph(
         name="bench-products", num_nodes=num_nodes, avg_degree=15,
@@ -132,6 +133,7 @@ def main():
         spec_buckets=int(os.environ.get("BENCH_BUCKETS",
                                         RunConfig.spec_buckets)),
         hbm_fraction=hbm_fraction,
+        cold_fp8=cold_fp8,
     )
     trainer = Trainer(cfg, g)
 
@@ -275,7 +277,10 @@ def main():
             it.stats.cold_rows / n_batches, 1),
         "cold_bytes_share": round(
             trainer.train_sampler.cfg.cold_cap
-            * 2 * trainer.features.shape[1] / max(bytes_per_batch, 1), 4),
+            * ((trainer.features.shape[1] + 4) if cold_fp8
+               else 2 * trainer.features.shape[1])
+            / max(bytes_per_batch, 1), 4),
+        "cold_fp8": cold_fp8,
         "pad_waste_nodes": round(it.stats.node_waste(spec.total_node_cap), 4),
         "pad_waste_edges": round(it.stats.edge_waste(sum(spec.edge_caps)), 4),
         "tight_frac": round(tight_frac, 4),

@@ -170,12 +170,13 @@ def run_computation(cfg, graph, job_dir: str, logger):
                 trainer.state = trainer.state.replace(
                     params=params, batch_stats=batch_stats)
             if cfg.final_test_mode == "layerwise":
-                # layerwise inference is a single-host full-HBM path; the
-                # partitioned-feature trainer scores batchwise — say so
-                # instead of silently ignoring the requested mode
-                logger.log("LAYERWISE_UNAVAILABLE_DISTRIBUTED_FALLBACK")
-            final_valid = trainer.evaluate("valid")
-            final_test = trainer.evaluate("test")
+                # mesh-sharded exact full-graph inference (falls back to
+                # batchwise inside when shards aren't HBM-resident)
+                accs = trainer.evaluate_layerwise(("valid", "test"))
+                final_valid, final_test = accs["valid"], accs["test"]
+            else:
+                final_valid = trainer.evaluate("valid")
+                final_test = trainer.evaluate("test")
         else:
             trainer = Trainer(cfg, graph, logger=logger)
             res = trainer.run_trial(trial, checkpoint_dir=job_dir)

@@ -72,6 +72,55 @@ def _bn(p: Dict, stats: Dict, x, dtype):
         use_running_average=True)
 
 
+class LocalEngine:
+    """Single-device chunked full-expansion propagation (the default
+    layerwise engine). The SPMD engine (train/dist_inference.py) provides
+    the same interface over a sharded mesh — the zoo dispatch below is
+    engine-agnostic."""
+
+    def __init__(self, graph_rowptr, graph_col, chunk: int):
+        self.V = len(graph_rowptr) - 1
+        self.native = NativeSampler(np.asarray(graph_rowptr, np.int64),
+                                    np.asarray(graph_col, np.int32))
+        self.spec = _chunk_spec(graph_rowptr, chunk)
+        self.chunk = chunk
+        self.seed_cap = self.spec.seed_cap
+
+    def full(self, fn, *arrays):
+        """Apply a full-graph (non-neighborhood) op — dense heads, JK
+        pooling, residuals. The sharded engine jit-wraps this so XLA keeps
+        the arrays sharded; locally a plain call suffices."""
+        return fn(*arrays)
+
+    def propagate(self, core, emb, feat_out):
+        """One full-graph layer: chunked 1-hop full expansion, functional
+        scatter of each chunk's rows into the [V, feat_out] output (padded
+        seed ids point at V → dropped by the scatter)."""
+        V, seed_cap = self.V, self.seed_cap
+
+        # donate out_buf: without it XLA copies the whole [V, feat]
+        # matrix on every chunk (O(V^2·F/chunk) HBM traffic at scale)
+        @functools.partial(jax.jit, donate_argnums=(6,))
+        def chunk_fn(emb, n_id, seed_ids, src, dst, count, out_buf):
+            x = jnp.take(emb, n_id, axis=0)
+            eb = EdgeBlock(src=src, dst=dst, count=count)
+            h = core(x, eb)
+            return out_buf.at[seed_ids].set(h.astype(out_buf.dtype))
+
+        out = jnp.zeros((V, feat_out), emb.dtype)
+        for s in range(0, V, self.chunk):
+            ids = np.arange(s, min(s + self.chunk, V), dtype=np.int64)
+            b = self.native.sample(self.spec, ids, rng_seed=1)
+            assert b.overflow.tolist() == [0, 0]
+            pad_ids = np.full(seed_cap, V, np.int32)
+            pad_ids[: len(ids)] = ids
+            eb = b.edges[0]
+            out = chunk_fn(emb, jnp.asarray(b.n_id), jnp.asarray(pad_ids),
+                           jnp.asarray(eb.src), jnp.asarray(eb.dst),
+                           jnp.asarray(eb.count), out)
+        return out
+
+
 def layerwise_inference(
     model_name: str,
     params: Dict,
@@ -86,6 +135,22 @@ def layerwise_inference(
 ) -> jnp.ndarray:
     """Returns final-layer representations for all V nodes (log-probs for
     the classification head layer, matching the reference's usage)."""
+    eng = LocalEngine(graph_rowptr, graph_col, chunk)
+    return run_layerwise_zoo(model_name, params, num_layers, x_all, eng,
+                             dtype=dtype, batch_stats=batch_stats)
+
+
+def run_layerwise_zoo(
+    model_name: str,
+    params: Dict,
+    num_layers: int,
+    x_all: jnp.ndarray,
+    eng,                          # LocalEngine or the SPMD ShardedEngine
+    dtype=jnp.bfloat16,
+    batch_stats: Optional[Dict] = None,
+) -> jnp.ndarray:
+    """Model-zoo dispatch for layerwise inference over any propagation
+    engine (single device or mesh-sharded)."""
     if model_name not in SUPPORTED:
         raise NotImplementedError(
             f"layerwise inference not implemented for {model_name} "
@@ -94,38 +159,9 @@ def layerwise_inference(
         raise ValueError(
             f"{model_name} has BatchNorm layers: pass batch_stats "
             "(the trained running statistics) for layerwise inference")
-    V = len(graph_rowptr) - 1
-    native = NativeSampler(np.asarray(graph_rowptr, np.int64),
-                           np.asarray(graph_col, np.int32))
-    spec = _chunk_spec(graph_rowptr, chunk)
     bs = batch_stats or {}
-    seed_cap = spec.seed_cap
-
-    def propagate(core, emb, feat_out):
-        """One full-graph layer: chunked 1-hop full expansion, functional
-        scatter of each chunk's rows into the [V, feat_out] output (padded
-        seed ids point at V → dropped by the scatter)."""
-        # donate out_buf: without it XLA copies the whole [V, feat]
-        # matrix on every chunk (O(V^2·F/chunk) HBM traffic at scale)
-        @functools.partial(jax.jit, donate_argnums=(6,))
-        def chunk_fn(emb, n_id, seed_ids, src, dst, count, out_buf):
-            x = jnp.take(emb, n_id, axis=0)
-            eb = EdgeBlock(src=src, dst=dst, count=count)
-            h = core(x, eb)
-            return out_buf.at[seed_ids].set(h.astype(out_buf.dtype))
-
-        out = jnp.zeros((V, feat_out), emb.dtype)
-        for s in range(0, V, chunk):
-            ids = np.arange(s, min(s + chunk, V), dtype=np.int64)
-            b = native.sample(spec, ids, rng_seed=1)
-            assert b.overflow.tolist() == [0, 0]
-            pad_ids = np.full(seed_cap, V, np.int32)
-            pad_ids[: len(ids)] = ids
-            eb = b.edges[0]
-            out = chunk_fn(emb, jnp.asarray(b.n_id), jnp.asarray(pad_ids),
-                           jnp.asarray(eb.src), jnp.asarray(eb.dst),
-                           jnp.asarray(eb.count), out)
-        return out
+    seed_cap = eng.seed_cap
+    propagate = eng.propagate
 
     def finish(x):
         return jax.nn.log_softmax(x.astype(jnp.float32), axis=-1)
@@ -148,7 +184,7 @@ def layerwise_inference(
                 return h if last else nn.relu(h)
 
             emb = propagate(core, emb, feat)
-        return finish(emb)
+        return eng.full(finish, emb)
 
     if model_name == "GIN":
         for i in range(num_layers):
@@ -162,8 +198,12 @@ def layerwise_inference(
                                   valid_count=None, training=False)
 
             emb = propagate(core, emb, feat)
-        h = nn.relu(_dense(params["lin1"], emb, dtype))
-        return finish(_dense(params["lin2"], h, dtype))
+
+        def gin_head(e):
+            h = nn.relu(_dense(params["lin1"], e, dtype))
+            return finish(_dense(params["lin2"], h, dtype))
+
+        return eng.full(gin_head, emb)
 
     if model_name == "GCN":
         for i in range(num_layers):
@@ -181,7 +221,7 @@ def layerwise_inference(
                 return nn.relu(_bn(pbn, sbn, h, dtype))
 
             emb = propagate(core, emb, feat)
-        return finish(emb)
+        return eng.full(finish, emb)
 
     if model_name == "JKNet":
         pooled = None  # JK 'max' mode as a running accumulator: O(V·H)
@@ -197,11 +237,13 @@ def layerwise_inference(
                 return nn.relu(_bn(pbn, sbn, h, dtype))
 
             emb = propagate(core, emb, feat)
-            pooled = emb if pooled is None else jnp.maximum(pooled, emb)
-        return finish(_dense(params["lin"], pooled, dtype))
+            pooled = emb if pooled is None else eng.full(
+                jnp.maximum, pooled, emb)
+        return eng.full(
+            lambda e: finish(_dense(params["lin"], e, dtype)), pooled)
 
     assert model_name == "SAGEResInception"
-    x0 = x_all.astype(dtype)
+    x0 = eng.full(lambda a: a.astype(dtype), x_all)
     collect = [x0]
     emb = x0
     for i in range(num_layers):
@@ -216,13 +258,21 @@ def layerwise_inference(
 
         h_all = propagate(core, emb, feat)
         collect.append(h_all)
-        res = _dense(params["res0"], emb, dtype) if i == 0 else emb
-        emb = h_all + res
+        if i == 0:
+            emb = eng.full(
+                lambda h, e: h + _dense(params["res0"], e, dtype),
+                h_all, emb)
+        else:
+            emb = eng.full(jnp.add, h_all, emb)
     mlp_p = params["mlp"]
     out_f = int(np.asarray(mlp_p["fc1"]["kernel"]).shape[1])
     hid_f = int(np.asarray(mlp_p["fc0"]["kernel"]).shape[1])
     head = MLP(hidden_dim=hid_f, embed_dim=out_f, num_layers=2, bn=True,
                end_up_with_fc=True, act="leakyrelu", dtype=dtype)
-    out = head.apply({"params": mlp_p},
-                     jnp.concatenate(collect, axis=-1), training=False)
-    return finish(out)
+
+    def sri_head(*coll):
+        return finish(head.apply({"params": mlp_p},
+                                 jnp.concatenate(coll, axis=-1),
+                                 training=False))
+
+    return eng.full(sri_head, *collect)

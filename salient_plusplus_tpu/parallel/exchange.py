@@ -69,6 +69,29 @@ def wire_row_bytes(num_features: int, dtype, wire_fp8: bool) -> int:
     return num_features * jnp.dtype(dtype).itemsize
 
 
+def fp8_encode_rows_np(x: "np.ndarray"):
+    """Host-side one-time fp8 (e4m3) row encoding for the cold tier:
+    returns (uint8 payload [N, F], float32 dequant scale [N]). Same
+    per-row dynamic-range scheme as the device wire (halves the dominant
+    >HBM H2D payload vs bf16 at ≤2^-3 relative error); decode with
+    :func:`fp8_decode_rows`."""
+    import ml_dtypes
+    import numpy as np
+
+    xf = np.asarray(x, np.float32)
+    amax = np.abs(xf).max(axis=1)
+    q_scale = np.where(amax > 0, _FP8_MAX / amax, 1.0).astype(np.float32)
+    payload = (xf * q_scale[:, None]).astype(ml_dtypes.float8_e4m3fn)
+    return payload.view(np.uint8), (amax / _FP8_MAX).astype(np.float32)
+
+
+def fp8_decode_rows(rows_u8: jnp.ndarray, scale: jnp.ndarray,
+                    dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Device-side decode of :func:`fp8_encode_rows_np` payloads."""
+    rows = jax.lax.bitcast_convert_type(rows_u8, jnp.float8_e4m3fn)
+    return (rows.astype(jnp.float32) * scale[:, None]).astype(dtype)
+
+
 def _fp8_wire_exchange(served: jnp.ndarray, axis_name: str) -> jnp.ndarray:
     """Row all_to_all with per-row dynamic-range fp8 (e4m3) compression.
 

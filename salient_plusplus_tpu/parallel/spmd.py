@@ -62,8 +62,12 @@ def _lookup_features(features, batch: PaddedBatch, feature_mode: str,
         # (owner-mode cold_pos is NOT sorted — per-owner slot layout —
         # so this stays a scatter, not the sorted MXU placement);
         # padded slots point past the frontier → dropped
-        x = x.at[batch.cold_pos].set(batch.cold_rows.astype(x.dtype),
-                                     mode="drop")
+        rows = batch.cold_rows
+        if batch.cold_scale is not None:
+            from .exchange import fp8_decode_rows
+
+            rows = fp8_decode_rows(rows, batch.cold_scale, x.dtype)
+        x = x.at[batch.cold_pos].set(rows.astype(x.dtype), mode="drop")
     return x, stats
 
 

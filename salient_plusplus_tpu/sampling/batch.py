@@ -198,6 +198,9 @@ class PaddedBatch(struct.PyTreeNode):
     cold_rows: "np.ndarray" = None   # [cold_cap, F] feature rows
     cold_pos: "np.ndarray" = None    # int32 [cold_cap] frontier slots (pad=N_cap)
     cold_count: "np.ndarray" = None  # int32 []
+    # fp8 cold wire (cold_fp8): cold_rows is a uint8 e4m3 payload and this
+    # carries the per-row dequant scale (parallel/exchange.fp8_decode_rows)
+    cold_scale: "np.ndarray" = None  # float32 [cold_cap] or None
     # GLOBAL src ids of the outermost hop (edges[0]); lets layer 0
     # aggregate straight from the HBM feature table so the frontier gather
     # shrinks to the level-(L-1) prefix — the level-L tail is only ever a

@@ -112,6 +112,7 @@ class BatchBuffers:
         self.cold_rows = None
         self.cold_pos = None
         self.cold_req = None
+        self.cold_scale = None
         self.cold_count = np.int32(0)
         self.gsrc = None
         self.ddeg = None
@@ -261,7 +262,8 @@ class BatchBuffers:
             self.attach_cold_requests(cfg.cold_world, cfg.cold_r_cap)
         elif cfg.hot_cutoff is not None or cfg.cold_part_size is not None:
             self.attach_cold(cfg.cold_cap, cfg.x_cold.shape[1],
-                             cfg.x_cold.dtype)
+                             cfg.x_cold.dtype,
+                             with_scale=cfg.x_cold_scale is not None)
         if cfg.emit_gsrc:
             self.attach_gsrc()
         if cfg.compress_dst:
@@ -283,9 +285,11 @@ class BatchBuffers:
                                               cfg.cold_hot_size)
         elif cfg.cold_part_size is not None:
             dropped = self.fill_cold_partitioned(
-                cfg.x_cold, cfg.cold_part_size, cfg.cold_hot_size)
+                cfg.x_cold, cfg.cold_part_size, cfg.cold_hot_size,
+                x_scale=cfg.x_cold_scale)
         elif cfg.hot_cutoff is not None:
-            dropped = self.fill_cold(cfg.x_cold, cfg.hot_cutoff)
+            dropped = self.fill_cold(cfg.x_cold, cfg.hot_cutoff,
+                                     x_scale=cfg.x_cold_scale)
         if cfg.compress_dst:
             self.fill_ddeg()
         if cfg.emit_gsrc:
@@ -294,9 +298,12 @@ class BatchBuffers:
             self.fill_pack()
         return dropped
 
-    def attach_cold(self, cold_cap: int, num_features: int, dtype):
+    def attach_cold(self, cold_cap: int, num_features: int, dtype,
+                    with_scale: bool = False):
         self.cold_rows = np.zeros((cold_cap, num_features), dtype)
         self.cold_pos = np.zeros(cold_cap, np.int32)
+        self.cold_scale = (np.zeros(cold_cap, np.float32)
+                           if with_scale else None)
         self.cold_count = np.int32(0)
 
     def attach_cold_requests(self, world: int, cold_r_cap: int):
@@ -340,7 +347,7 @@ class BatchBuffers:
         return int(len(owner) - int(keep.sum()))
 
     def _fill_cold_rows(self, x_cold, pos: np.ndarray,
-                        cold_idx: np.ndarray) -> int:
+                        cold_idx: np.ndarray, x_scale=None) -> int:
         cap = self.cold_pos.shape[0]
         dropped = max(0, len(pos) - cap)
         pos, cold_idx = pos[:cap], cold_idx[:cap]
@@ -349,22 +356,28 @@ class BatchBuffers:
         # pad slots point past every frontier cap → dropped by the device
         # scatter overlay
         self.cold_pos[cnt:] = self.n_id.shape[0]
-        gather_rows(x_cold, cold_idx.astype(np.int64),
-                    out=self.cold_rows[:cnt])
+        idx64 = cold_idx.astype(np.int64)
+        gather_rows(x_cold, idx64, out=self.cold_rows[:cnt])
         self.cold_rows[cnt:] = 0
+        if self.cold_scale is not None:
+            # fp8 wire: the per-row dequant scales ride along
+            self.cold_scale[:cnt] = x_scale[idx64]
+            self.cold_scale[cnt:] = 0
         self.cold_count = np.int32(cnt)
         return dropped
 
-    def fill_cold(self, x_cold: np.ndarray, hot_cutoff: int) -> int:
+    def fill_cold(self, x_cold: np.ndarray, hot_cutoff: int,
+                  x_scale=None) -> int:
         """Gather host-resident rows for frontier vertices ≥ hot_cutoff
         (single-host tier: one global hot prefix). Returns dropped count."""
         n = int(self.level_sizes[-1])
         ids = self.n_id[:n]
         pos = np.flatnonzero(ids >= hot_cutoff).astype(np.int32)
-        return self._fill_cold_rows(x_cold, pos, ids[pos] - hot_cutoff)
+        return self._fill_cold_rows(x_cold, pos, ids[pos] - hot_cutoff,
+                                    x_scale)
 
     def fill_cold_partitioned(self, x_cold: np.ndarray, part_size: int,
-                              hot_size: int) -> int:
+                              hot_size: int, x_scale=None) -> int:
         """Distributed tier: every partition keeps its first ``hot_size``
         rows in HBM; ``x_cold`` concatenates every partition's cold tail
         (replicated on each host). Global id → cold row:
@@ -375,7 +388,7 @@ class BatchBuffers:
         pos = np.flatnonzero(local >= hot_size).astype(np.int32)
         cold_idx = ((ids[pos] // part_size) * (part_size - hot_size)
                     + local[pos] - hot_size)
-        return self._fill_cold_rows(x_cold, pos, cold_idx)
+        return self._fill_cold_rows(x_cold, pos, cold_idx, x_scale)
 
     def fits(self, spec: BatchSpec) -> bool:
         """Does the sampled batch fit a (tighter) spec's caps?"""
@@ -452,6 +465,7 @@ class BatchBuffers:
             gsrc=self.gsrc,
             cold_rows=self.cold_rows, cold_pos=self.cold_pos,
             cold_count=self.cold_count if self.cold_pos is not None else None,
+            cold_scale=self.cold_scale,
             spec=spec,
         )
 

@@ -104,6 +104,9 @@ class FastSamplerConfig:
     hot_cutoff: Optional[int] = None
     x_cold: Optional[np.ndarray] = None
     cold_cap: int = 0
+    # when set, x_cold is a uint8 fp8-e4m3 payload and this holds the
+    # per-row float32 dequant scales (cold_fp8 wire format)
+    x_cold_scale: Optional[np.ndarray] = None
     # distributed tier variant: per-partition hot prefixes (set part/hot
     # sizes instead of hot_cutoff; x_cold = concat of all cold tails)
     cold_part_size: Optional[int] = None

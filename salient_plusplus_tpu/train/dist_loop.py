@@ -112,6 +112,7 @@ class DistributedTrainer:
         S = int(self.part_offsets[1] - self.part_offsets[0])
         self.x_cold = None
         self.x_cold_own = None
+        self.x_cold_scale = None
         if cfg.hbm_fraction < 1.0:
             H = max(128, (int(S * cfg.hbm_fraction) // 128) * 128)
             assert H < S, (H, S)
@@ -130,6 +131,11 @@ class DistributedTrainer:
                     "on each host")
                 self.x_cold = np.ascontiguousarray(np.concatenate(
                     [np.asarray(sh)[H:] for sh in x_all], axis=0))
+                if cfg.cold_fp8:
+                    from ..parallel.exchange import fp8_encode_rows_np
+
+                    self.x_cold, self.x_cold_scale = \
+                        fp8_encode_rows_np(self.x_cold)
             x_local = [np.asarray(x_local[i])[:H]
                        for i in range(len(x_local))]
         else:
@@ -220,6 +226,7 @@ class DistributedTrainer:
                     max_batches_in_flight=4,
                     exact_num_batches=self.iters_per_epoch,
                     x_cold=self.x_cold, cold_cap=self.cold_cap,
+                    x_cold_scale=self.x_cold_scale,
                     cold_part_size=(self.part_size if self.hot_size
                                     is not None else None),
                     cold_hot_size=self.hot_size,
@@ -766,6 +773,7 @@ class DistributedTrainer:
                     max_batches_in_flight=2,
                     exact_num_batches=n_iters,
                     x_cold=self.x_cold,
+                    x_cold_scale=self.x_cold_scale,
                     cold_cap=e_cold_cap,
                     cold_part_size=(self.part_size if self.hot_size
                                     is not None else None),
@@ -848,3 +856,36 @@ class DistributedTrainer:
                 e_cold_cap2)
             self.logger.log("EVAL_SPEC_GROWN", split)
         return correct / max(total, 1)
+
+    def evaluate_layerwise(self, splits=("valid", "test")):
+        """Exact full-graph accuracy via mesh-sharded layerwise inference
+        (train/dist_inference.py) — the reference's layerwise path exists
+        single-GPU only and is gated out of its own driver
+        (models.py:441-495, base.py:430-432); here it runs partitioned.
+        One pass computes every node's representation, so all splits score
+        from the same embeddings. Needs HBM-resident shards
+        (hbm_fraction=1); falls back to batchwise eval otherwise (and for
+        ARMA), mirroring the single-host rule."""
+        from .dist_inference import layerwise_inference_spmd
+
+        if self.hot_size is not None:
+            self.logger.log("LAYERWISE_NEEDS_FULL_HBM_FALLBACK")
+            return {s: self.evaluate(s) for s in splits}
+        try:
+            emb = layerwise_inference_spmd(
+                self, chunk=self.cfg.inference_chunk,
+                dtype=jnp.dtype(self.cfg.compute_dtype))
+        except NotImplementedError:
+            self.logger.log("LAYERWISE_UNSUPPORTED_FALLBACK",
+                            self.cfg.model_name)
+            return {s: self.evaluate(s) for s in splits}
+        pred = np.asarray(jax.jit(
+            lambda e: jnp.argmax(e, -1).astype(jnp.int32),
+            out_shardings=self.repl_sharding)(emb))
+        y = np.asarray(self.pg.y)
+        out = {}
+        for s in splits:
+            idx = np.asarray(self.pg.split_idx[s])
+            out[s] = float((pred[idx] == y[idx]).mean())
+            self.logger.log("layerwise_acc", s, out[s])
+        return out

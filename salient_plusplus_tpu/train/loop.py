@@ -167,8 +167,14 @@ class Trainer:
         # hbm_fraction=0.5 on the bench shape)
         if x_np.dtype != jnp.bfloat16:
             x_np = x_np.astype(jnp.bfloat16)
+        self.x_cold_scale = None
         if self.hot_cutoff is not None:
             self.x_cold = np.ascontiguousarray(x_np[self.hot_cutoff:])
+            if cfg.cold_fp8:
+                from ..parallel.exchange import fp8_encode_rows_np
+
+                self.x_cold, self.x_cold_scale = \
+                    fp8_encode_rows_np(self.x_cold)
             cold_cap = self._calibrate_cold_cap(train_idx)
         else:
             self.x_cold, cold_cap = None, 0
@@ -193,6 +199,7 @@ class Trainer:
                 base_seed=cfg.seed, num_workers=cfg.num_workers,
                 max_batches_in_flight=cfg.max_batches_in_flight,
                 hot_cutoff=self.hot_cutoff, x_cold=self.x_cold,
+                x_cold_scale=self.x_cold_scale,
                 cold_cap=cold_cap, emit_gsrc=self.global_msg0,
                 compress_dst=self.compress_dst,
                 pack_wire=self.pack_wire,
@@ -417,6 +424,7 @@ class Trainer:
                 base_seed=cfg.seed + 7, num_workers=cfg.num_workers,
                 max_batches_in_flight=cfg.max_batches_in_flight,
                 hot_cutoff=self.hot_cutoff, x_cold=self.x_cold,
+                x_cold_scale=self.x_cold_scale,
                 cold_cap=cold_cap, emit_gsrc=self.global_msg0,
                 compress_dst=all(0 < f <= 127 for f in fanouts),
                 pack_wire=(self.pack_wire

@@ -38,6 +38,13 @@ def gather_features(features: jnp.ndarray, batch: PaddedBatch) -> jnp.ndarray:
         from ..ops.mxu_segment import _INTERPRET, _sorted_degrees
         from ..ops.mxu_segment import mxu_spmm_enabled, sorted_segment_sum_mxu
 
+        if batch.cold_scale is not None:
+            from ..parallel.exchange import fp8_decode_rows
+
+            batch = batch.replace(
+                cold_rows=fp8_decode_rows(batch.cold_rows,
+                                          batch.cold_scale, x.dtype),
+                cold_scale=None)
         if mxu_spmm_enabled():
             # single-host cold_pos is ASCENDING (fill_cold scans the
             # frontier in order), so the overlay is a sorted placement:

@@ -367,3 +367,34 @@ def test_wire_fp8_trains_and_shrinks_payload():
     assert m0["wire_bytes"] == m0["iters"] * WORLD * t.r_cap * (F + 4 + 4)
     acc = t.evaluate("valid")
     assert acc > 0.4, acc
+
+
+def test_distributed_cold_fp8():
+    """cold_fp8 in distributed replicated mode: the tail is a uint8 fp8
+    payload, training converges, accuracy close to the exact tier."""
+    import jax
+
+    g = synthetic.planted_partition(
+        name="coldf8", num_nodes=3000, num_classes=4, avg_degree=8,
+        num_features=16, seed=4)
+    from salient_plusplus_tpu.partition import contiguous_partition
+
+    labels = contiguous_partition(g.num_nodes, WORLD)
+
+    def run(fp8):
+        cfg = RunConfig(
+            train_batch_size=64, train_fanouts=[4, 3],
+            batchwise_test_fanouts=[5, 5], final_test_fanouts=[5, 5],
+            hidden_features=16, num_layers=2, lr=0.01, num_workers=2,
+            calibration_batches=2, seed=6, hbm_fraction=0.5,
+            cold_mode="replicated", cold_fp8=fp8,
+        )
+        t = DistributedTrainer(cfg, g, labels, mesh=make_mesh(WORLD))
+        m = t.train_epoch(0)
+        assert m["overflow"] == 0
+        return t, t.evaluate("valid")
+
+    t8, acc8 = run(True)
+    assert t8.x_cold.dtype == np.uint8 and t8.x_cold_scale is not None
+    _, acc = run(False)
+    assert acc8 > 0.8 * acc, (acc8, acc)

@@ -94,3 +94,44 @@ def test_cold_cap_grows_after_drops(tiny_graph):
     t.train_epoch(1)
     # second epoch under the regrown cap must not drop
     assert t.train_sampler.cfg.cold_cap == grown
+
+
+def test_fp8_encode_decode_roundtrip():
+    """fp8 e4m3 cold encoding: relative error per element ≤ 2^-3 (3
+    mantissa bits), zero rows exact."""
+    import jax.numpy as jnp
+
+    from salient_plusplus_tpu.parallel.exchange import (
+        fp8_decode_rows, fp8_encode_rows_np)
+
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal((64, 32)) * 10).astype(np.float32)
+    x[3] = 0.0
+    payload, scale = fp8_encode_rows_np(x)
+    assert payload.dtype == np.uint8 and payload.shape == x.shape
+    dec = np.asarray(fp8_decode_rows(jnp.asarray(payload),
+                                     jnp.asarray(scale),
+                                     jnp.float32))
+    amax = np.abs(x).max(axis=1, keepdims=True)
+    np.testing.assert_allclose(dec, x, atol=float(amax.max()) * 2**-3)
+    np.testing.assert_array_equal(dec[3], 0.0)
+
+
+def test_cold_fp8_trains_and_scores(small_graph):
+    """cold_fp8 halves the >HBM wire; training through it must stay close
+    to the exact cold tier (inputs quantized at ≤2^-3 relative error)."""
+    cfg = RunConfig(
+        train_batch_size=256, test_batch_size=512,
+        train_fanouts=[5, 3], batchwise_test_fanouts=[6, 6],
+        final_test_fanouts=[6, 6],
+        hidden_features=16, num_layers=2, lr=0.01, num_workers=2,
+        calibration_batches=2, seed=4, hbm_fraction=0.5, cold_fp8=True,
+    )
+    t = Trainer(cfg, small_graph)
+    assert t.x_cold.dtype == np.uint8
+    assert t.x_cold_scale is not None
+    losses = [t.train_epoch(e) for e in range(2)]
+    assert losses[-1] < losses[0]
+    _, acc_exact = _run(small_graph, 0.5)
+    acc_fp8 = t.evaluate("valid")
+    assert acc_fp8 > 0.8 * acc_exact, (acc_fp8, acc_exact)
