@@ -1,6 +1,21 @@
 # Developer entry points.
 
-.PHONY: test sanitize bench native clean
+.PHONY: test sanitize bench native clean ogb-products products-drill
+
+# Real-data pipeline: download pre-partitioned OGB data (egress needed;
+# fails fast with an actionable message otherwise), then train + score
+# distributed against the BASELINE.md anchor.
+ogb-products:
+	python -m salient_plusplus_tpu.utils.download_datasets ogbn-products 8 --out datasets
+	python -m salient_plusplus_tpu.driver ogbn-products-reordered-k8 ogb_products \
+	    --dataset_root datasets --distribute_data true --epochs 25 \
+	    --final_test_mode layerwise
+
+# Everything AFTER the download gate, proven at products scale on
+# synthetic data in the real on-disk format (peak RSS recorded per stage).
+products-drill:
+	python -m salient_plusplus_tpu.utils.readiness_drill \
+	    --nodes 2450000 --parts 8 --epochs 3 --out docs/products_drill.json
 
 test:
 	python -m pytest tests/ -q

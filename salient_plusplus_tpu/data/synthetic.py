@@ -92,6 +92,8 @@ def powerlaw_graph(
     num_classes: int = 40,
     seed: int = 0,
     x_dtype=np.float16,
+    train_frac: float = 0.5,
+    valid_frac: float = 0.25,
 ) -> GraphData:
     """Skewed-degree graph (Zipf-weighted endpoints) for perf benchmarking.
 
@@ -121,8 +123,10 @@ def powerlaw_graph(
     y = rng.integers(0, num_classes, size=V).astype(np.int32)
     x = rng.normal(0, 1, size=(V, num_features)).astype(np.float32).astype(x_dtype)
     perm = rng.permutation(V)
-    n_train = int(0.5 * V)
-    n_valid = int(0.25 * V)
+    # products-shaped drills use sparse splits (ogbn-products trains on
+    # ~8% of nodes); the default 50/25/25 keeps historical bench behavior
+    n_train = int(train_frac * V)
+    n_valid = int(valid_frac * V)
     split_idx = {
         "train": np.sort(perm[:n_train]).astype(np.int64),
         "valid": np.sort(perm[n_train:n_train + n_valid]).astype(np.int64),

@@ -22,6 +22,33 @@ import time
 import numpy as np
 
 
+class PartitionedDatasetRef:
+    """Marker for an on-disk partition-reordered dataset (the
+    `<name>-reordered-k{K}` layout written by partition/cli.py or
+    downloaded pre-partitioned, reference download_datasets_fast.py):
+    the distributed path loads per-rank shards lazily via
+    DistributedTrainer.from_partitioned; single-host paths materialize
+    the full graph."""
+
+    def __init__(self, root: str, name: str, num_parts: int):
+        self.root, self.name, self.num_parts = root, name, num_parts
+
+    def load_full(self):
+        """Concatenate every shard into one (reordered) GraphData."""
+        import numpy as np
+
+        from .data.dataset import GraphData, PartitionedGraphData
+
+        pgs = [PartitionedGraphData.load_partitioned(self.root, self.name,
+                                                     r)
+               for r in range(self.num_parts)]
+        pg = pgs[0]
+        return GraphData(
+            name=pg.name, rowptr=pg.rowptr, col=pg.col,
+            x=np.concatenate([p.x for p in pgs], axis=0), y=pg.y,
+            split_idx=pg.split_idx, num_classes=pg.num_classes)
+
+
 def load_dataset(cfg, name: str):
     from .data import GraphData, synthetic
 
@@ -46,6 +73,11 @@ def load_dataset(cfg, name: str):
         )
     path = os.path.join(cfg.dataset_root, name)
     if os.path.exists(os.path.join(path, "meta.json")):
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        if meta.get("num_parts", 1) > 1:
+            return PartitionedDatasetRef(cfg.dataset_root, name,
+                                         meta["num_parts"])
         return GraphData.load(cfg.dataset_root, name)
     # fall back to OGB ingest when the package is available
     from .data.ogb import load_ogb
@@ -59,6 +91,8 @@ def run_communication_simulation(cfg, graph, logger):
     from .caching.simulate import run_replication_sweep, tabulate_comm_results
     from .partition import multiconstraint_partition
 
+    if isinstance(graph, PartitionedDatasetRef):
+        graph = graph.load_full()
     k = max(2, int(os.environ.get("SIM_PARTS", "4")))
     labels = multiconstraint_partition(graph.rowptr, graph.col, k,
                                        seed=cfg.seed)
@@ -97,14 +131,25 @@ def run_computation(cfg, graph, job_dir: str, logger):
                 from .train.dist_loop import DistributedTrainer
 
                 mesh = make_mesh()
-                # partition/reorder/calibration/cache are seed-determined
-                # and trial-independent — build ONCE (they dominate setup
-                # time at scale); only the train state varies per trial
-                labels = multiconstraint_partition(
-                    graph.rowptr, graph.col, mesh.devices.size,
-                    seed=cfg.seed)
-                dist_trainer = DistributedTrainer(cfg, graph, labels,
-                                                  mesh=mesh, logger=logger)
+                if isinstance(graph, PartitionedDatasetRef):
+                    # pre-partitioned on-disk dataset (partition/cli.py
+                    # output or download): per-rank shard load, no
+                    # in-memory re-partitioning (dataset.py:191-215)
+                    assert mesh.devices.size == graph.num_parts, (
+                        mesh.devices.size, graph.num_parts)
+                    dist_trainer = DistributedTrainer.from_partitioned(
+                        cfg, graph.root, graph.name, mesh=mesh,
+                        logger=logger)
+                else:
+                    # partition/reorder/calibration/cache are seed-
+                    # determined and trial-independent — build ONCE (they
+                    # dominate setup time at scale); only the train state
+                    # varies per trial
+                    labels = multiconstraint_partition(
+                        graph.rowptr, graph.col, mesh.devices.size,
+                        seed=cfg.seed)
+                    dist_trainer = DistributedTrainer(
+                        cfg, graph, labels, mesh=mesh, logger=logger)
                 if cfg.computation_mode == "frequency_cache":
                     dist_trainer.create_cache()
             trainer = dist_trainer
@@ -178,6 +223,8 @@ def run_computation(cfg, graph, job_dir: str, logger):
                 final_valid = trainer.evaluate("valid")
                 final_test = trainer.evaluate("test")
         else:
+            if isinstance(graph, PartitionedDatasetRef):
+                graph = graph.load_full()
             trainer = Trainer(cfg, graph, logger=logger)
             res = trainer.run_trial(trial, checkpoint_dir=job_dir)
             best_acc, best_epoch = res.best_valid_acc, res.best_epoch
@@ -197,6 +244,8 @@ def do_test_run(cfg, graph, job_dir: str, checkpoint_epochs, logger):
     from .train import checkpoint as ckpt
     from .train.loop import Trainer
 
+    if isinstance(graph, PartitionedDatasetRef):
+        graph = graph.load_full()
     trainer = Trainer(cfg, graph, logger=logger)
     out = []
     for epoch in checkpoint_epochs:

@@ -184,11 +184,12 @@ class DistributedTrainer:
             max_stream = -(-len(pool) // self.world)
         seed_cap = max(cfg.train_batch_size,
                        -(-max_stream // self.iters_per_epoch))
-        # 2-bucket padding recovery (single-process only: every process
-        # must run the same XLA program each step, and the bucket choice
-        # depends on batch content only this process can see — a cross-
-        # process agreement round-trip would cost more than the padding)
-        use_tight = cfg.spec_buckets > 1 and jax.process_count() == 1
+        # 2-bucket padding recovery. Every process must run the same XLA
+        # program each step; multi-process runs agree on the bucket with a
+        # 1-int psum per step, overlapped with the one-step-ahead sampler
+        # pipeline (the padding tax it removes was measured at 45-50%
+        # worst-case caps → ~2-5%; the agreement is one tiny collective)
+        use_tight = cfg.spec_buckets > 1
         if use_tight:
             self.train_spec, self.train_tight = calibrate_spec(
                 self.native, pool, seed_cap, cfg.train_fanouts,
@@ -580,6 +581,7 @@ class DistributedTrainer:
         #                per-step D2H read is a network round-trip on
         #                remotely-attached TPUs)
         sample_wait = assemble = cold_serve = 0.0
+        tight_steps = 0
 
         def _assemble():
             """Stack the next per-device batches and DISPATCH their cold
@@ -587,17 +589,25 @@ class DistributedTrainer:
             that consumes the rows, so the ids D2H + host gather in
             :meth:`_cold_serve` overlap the previous step's device
             compute (the reference's async-slicing overlap, N7)."""
-            nonlocal sample_wait, assemble
+            nonlocal sample_wait, assemble, tight_steps
             t0 = time.perf_counter()
             bufs = [next(it) for it in its]
             t1 = time.perf_counter()
             sample_wait += t1 - t0
             # one SPMD program per step: the tight bucket applies only
-            # when EVERY rank's batch fits it (all-or-nothing)
-            bucket = (self.train_tight
-                      if self.train_tight is not None
-                      and all(b.bucket is not None for b in bufs)
-                      else None)
+            # when EVERY rank's batch fits it (all-or-nothing). Across
+            # processes the fit bit is agreed via one tiny psum — every
+            # process must compile/run the same program this step.
+            fit = (self.train_tight is not None
+                   and all(b.bucket is not None for b in bufs))
+            if self.train_tight is not None and jax.process_count() > 1:
+                unfit = int(self._allsum_host(np.asarray(
+                    [[0 if fit else 1]] * len(self.local_ranks),
+                    np.int64))[0])
+                fit = unfit == 0
+            bucket = self.train_tight if fit else None
+            if fit:
+                tight_steps += 1
             stacked = stack_batches(
                 [b.to_padded_batch(bucket) for b in bufs])
             stacked = jax.tree_util.tree_map(np.array, stacked)
@@ -722,7 +732,7 @@ class DistributedTrainer:
                 "wire_bytes": wire_bytes, "r_cap": self.r_cap,
                 "remote": remote, "cache_hits": cached_hits,
                 "local": local, "overflow": overflow,
-                "iters": n_iters}
+                "iters": n_iters, "tight_steps": tight_steps}
 
     def evaluate(self, split: str) -> float:
         cfg = self.cfg

@@ -57,6 +57,11 @@ def main():
                        "cache_hits1": m1["cache_hits"],
                        "overflow": m0["overflow"] + m1["overflow"],
                        "local_ranks": t.local_ranks,
+                       # 2-bucket recovery across processes: the per-step
+                       # psum-agreed tight-bucket count (iters, tight)
+                       "iters": m1["iters"],
+                       "tight_steps1": m1["tight_steps"],
+                       "has_tight": t.train_tight is not None,
                        "process_count": jax.process_count()}, f)
 
 

@@ -329,7 +329,7 @@ def test_eval_exchange_overflow_self_corrects(dist_trainer):
     try:
         t.evaluate("valid")
         key = next(k for k in t.eval_specs if k[0] == "valid")
-        _, _, _, e_rcap = t.eval_specs[key]
+        _, _, _, e_rcap, _ = t.eval_specs[key]
         # overflow must have been detected and the budget grown past the
         # probe's 128 (>= 1.25x growth, 128-aligned)
         assert e_rcap >= 256, e_rcap

@@ -66,6 +66,10 @@ def test_two_process_cluster_matches_single_process(tmp_path):
     assert mp["overflow"] == 0
     assert mp["cache_hits1"] > 0
     assert mp["remote1"] < mp["remote0"]  # VIP cache cut remote traffic
+    # 2-bucket padding recovery ran ACROSS processes (per-step psum
+    # agreement): the tight program must have executed
+    assert mp["has_tight"]
+    assert 0 < mp["tight_steps1"] <= mp["iters"]
 
     # identical single-process run (the conftest 8-device mesh)
     from salient_plusplus_tpu.config import RunConfig
@@ -91,6 +95,9 @@ def test_two_process_cluster_matches_single_process(tmp_path):
     m1 = t.train_epoch(1)
     acc = t.evaluate("valid")
     assert t.r_cap == mp["r_cap"]
+    # the 2-process psum-agreed bucket choices match the single-process
+    # all-local decision (same global all-fit predicate)
+    assert m1["tight_steps"] == mp["tight_steps1"]
     np.testing.assert_allclose(mp["loss0"], m0["loss"], rtol=1e-5)
     np.testing.assert_allclose(mp["loss1"], m1["loss"], rtol=1e-5)
     np.testing.assert_allclose(mp["acc"], acc, atol=1e-6)
