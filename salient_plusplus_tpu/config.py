@@ -111,8 +111,13 @@ class RunConfig:
     # compress the feature-exchange response rows to fp8 (e4m3, per-row
     # dynamic-range scale) on the wire: halves the dominant distributed
     # payload vs bf16 (the reference ships fp16, transferers.py:507-531)
-    # at ≤2^-3 relative feature error; local/cached/cold rows stay exact
-    wire_fp8: bool = False
+    # at ≤2^-3 relative feature error; local/cached/cold rows stay exact.
+    # DEFAULT ON per the accuracy study (docs/fp8_study.json +
+    # experiments/fp8_study.py): on the non-saturating tracking task with
+    # NO cache and fully_random balancing — every remote row quantized —
+    # the validation curves match bf16 within seed-to-seed noise
+    # (max gap 0.0039 vs noise 0.0135). WIRE_BYTES logs the receipt.
+    wire_fp8: bool = True
     # fp8 (e4m3) host cold tier: the >HBM tail is pre-encoded once on the
     # host (uint8 payload + per-row f32 scale) and decoded on device —
     # ~1.94x fewer H2D bytes for the dominant >HBM payload (measured 88%

@@ -18,7 +18,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 import numpy as np
 
 
@@ -122,9 +121,6 @@ def run_computation(cfg, graph, job_dir: str, logger):
     dist_trainer = None
     for trial in range(cfg.trials):
         if distributed:
-            from .train import checkpoint as ckpt
-            from .train.state import ReduceLROnPlateau
-
             if dist_trainer is None:
                 from .parallel import make_mesh
                 from .partition import multiconstraint_partition
@@ -152,90 +148,27 @@ def run_computation(cfg, graph, job_dir: str, logger):
                         cfg, graph, labels, mesh=mesh, logger=logger)
                 if cfg.computation_mode == "frequency_cache":
                     dist_trainer.create_cache()
-            trainer = dist_trainer
-            # vary init per trial — otherwise every trial is bit-identical
-            # (single-device path does this via reset())
-            if trial:
-                trainer._init_state(trial_seed=trial)
-            scheduler = (ReduceLROnPlateau(cfg.lrs_factor,
-                                           cfg.effective_patience)
-                         if cfg.use_lrs else None)
-            best_acc, best_epoch = 0.0, -1
-            best_snapshot = None  # in-memory, multi-host safe
-            start_epoch = 0
-            if os.environ.get("RESUME", "0") == "1":
-                resume = ckpt.latest_epoch(job_dir, trial)
-                if jax.process_count() > 1:
-                    # hosts must agree on the resume point, or they run
-                    # different numbers of collective programs and desync;
-                    # min(): resume only to an epoch EVERY host has
-                    from jax.experimental import multihost_utils
-
-                    local = -1 if resume is None else resume
-                    agreed = int(multihost_utils.process_allgather(
-                        np.asarray([local], np.int32)).min())
-                    if agreed != local:
-                        logger.log("resume_mismatch", trial, local, agreed)
-                    resume = agreed if agreed >= 0 else None
-                if resume is not None:
-                    trainer.state = ckpt.restore(job_dir, trainer.state,
-                                                 trial, resume)
-                    start_epoch = resume + 1
-                    logger.log("resumed", trial, resume)
-            for epoch in range(start_epoch, cfg.epochs):
-                t0 = time.perf_counter()
-                m = trainer.train_epoch(epoch)
-                dt = time.perf_counter() - t0
-                logger.log("epoch_time", trial, epoch, round(dt, 3))
-                if scheduler is not None:
-                    trainer.state = scheduler.step(trainer.state, m["loss"])
-                if (epoch + 1) % cfg.test_epoch_frequency == 0:
-                    acc = trainer.evaluate("valid")
-                    logger.log("valid", trial, epoch, acc)
-                    if acc > best_acc:
-                        best_acc, best_epoch = acc, epoch
-                        # replicated arrays are process-locally readable:
-                        # snapshot on EVERY process for the in-memory
-                        # best-model restore below
-                        best_snapshot = jax.tree_util.tree_map(
-                            np.asarray, (trainer.state.params,
-                                         trainer.state.batch_stats))
-                        # Orbax save is a COLLECTIVE in a multi-controller
-                        # runtime — every process must enter it (a
-                        # process-0-only save deadlocks the pod at the
-                        # global barrier); only process 0 appends the
-                        # metadata line (shared-fs double-append guard)
-                        ckpt.save(job_dir, trainer.state, trial, epoch,
-                                  acc if jax.process_index() == 0 else None,
-                                  use_async=cfg.async_checkpoint)
-            # score the best-validation model, not the last epoch
-            # (driver/main.py:220-235 reloads the best checkpoint)
-            if best_snapshot is not None:
-                params, batch_stats = trainer._replicate(best_snapshot)
-                trainer.state = trainer.state.replace(
-                    params=params, batch_stats=batch_stats)
-            if cfg.final_test_mode == "layerwise":
-                # mesh-sharded exact full-graph inference (falls back to
-                # batchwise inside when shards aren't HBM-resident)
-                accs = trainer.evaluate_layerwise(("valid", "test"))
-                final_valid, final_test = accs["valid"], accs["test"]
-            else:
-                final_valid = trainer.evaluate("valid")
-                final_test = trainer.evaluate("test")
+            # shared trial loop (train/loop.py::run_trial_impl): epochs,
+            # periodic valid, best snapshot, collective ckpt, RESUME
+            res = dist_trainer.run_trial(trial, checkpoint_dir=job_dir)
         else:
             if isinstance(graph, PartitionedDatasetRef):
                 graph = graph.load_full()
             trainer = Trainer(cfg, graph, logger=logger)
             res = trainer.run_trial(trial, checkpoint_dir=job_dir)
-            best_acc, best_epoch = res.best_valid_acc, res.best_epoch
-            final_valid, final_test = res.final_valid_acc, res.final_test_acc
             logger.log("performance_breakdown", trainer.stats.summary())
-        results.append({"trial": trial, "best_epoch": best_epoch,
-                        "best_valid": best_acc, "final_valid": final_valid,
-                        "final_test": final_test})
+        results.append({"trial": trial, "best_epoch": res.best_epoch,
+                        "best_valid": res.best_valid_acc,
+                        "final_valid": res.final_valid_acc,
+                        "final_test": res.final_test_acc,
+                        "epoch_times": [round(t, 3)
+                                        for t in res.epoch_times],
+                        "losses": res.losses})
         logger.log("trial_complete", results[-1])
-        print(f"trial {trial}: best@{best_epoch} valid={best_acc:.4f} "
-              f"final_valid={final_valid:.4f} final_test={final_test:.4f}")
+        print(f"trial {trial}: best@{res.best_epoch} "
+              f"valid={res.best_valid_acc:.4f} "
+              f"final_valid={res.final_valid_acc:.4f} "
+              f"final_test={res.final_test_acc:.4f}")
     return results
 
 

@@ -867,6 +867,23 @@ class DistributedTrainer:
             self.logger.log("EVAL_SPEC_GROWN", split)
         return correct / max(total, 1)
 
+    # --- run_trial_impl hooks (train/loop.py) -------------------------
+    def _trial_reset(self, trial: int):
+        # the heavy build (partition/reorder/calibration/cache) is
+        # trial-independent; only the train state varies per trial
+        self._init_state(trial_seed=trial)
+
+    def _device_snapshot(self, snapshot):
+        return self._replicate(snapshot)
+
+    def run_trial(self, trial: int = 0, checkpoint_dir=None):
+        """Shared trial loop (loop.run_trial_impl): one implementation
+        for single-host and distributed (the reference runs the same
+        run_driver for both, driver/main.py:100-251)."""
+        from .loop import run_trial_impl
+
+        return run_trial_impl(self, trial, checkpoint_dir)
+
     def evaluate_layerwise(self, splits=("valid", "test")):
         """Exact full-graph accuracy via mesh-sharded layerwise inference
         (train/dist_inference.py) — the reference's layerwise path exists

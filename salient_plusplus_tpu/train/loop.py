@@ -507,52 +507,110 @@ class Trainer:
             self.logger.log("layerwise_acc", s, out[s])
         return out
 
+    # --- run_trial_impl hooks -----------------------------------------
+    def _trial_reset(self, trial: int):
+        self.reset(trial_seed=trial)
+
+    def _device_snapshot(self, snapshot):
+        """Host snapshot → arrays usable in the step (single host: as-is)."""
+        return snapshot
+
     def run_trial(self, trial: int = 0,
                   checkpoint_dir: Optional[str] = None) -> TrialResult:
         """Epoch loop with best-validation tracking (driver/main.py:188-245)."""
-        from . import checkpoint as ckpt
+        return run_trial_impl(self, trial, checkpoint_dir)
 
-        from .state import ReduceLROnPlateau
 
-        cfg = self.cfg
-        self.reset(trial_seed=trial)
-        res = TrialResult()
-        best_state = None
-        scheduler = (ReduceLROnPlateau(cfg.lrs_factor, cfg.effective_patience)
-                     if cfg.use_lrs else None)
-        for epoch in range(cfg.epochs):
-            t0 = time.perf_counter()
-            loss = self.train_epoch(epoch)
-            res.epoch_times.append(time.perf_counter() - t0)
-            res.losses.append(loss)
-            if scheduler is not None:
-                self.state = scheduler.step(self.state, loss)
-            if (epoch + 1) % cfg.test_epoch_frequency == 0:
-                acc = self.evaluate("valid")
-                self.logger.log("valid_acc", epoch, acc)
-                if acc > res.best_valid_acc:
-                    res.best_valid_acc = acc
-                    res.best_epoch = epoch
-                    best_state = jax.tree_util.tree_map(
-                        np.asarray, (self.state.params, self.state.batch_stats))
-                    if checkpoint_dir:
-                        ckpt.save(checkpoint_dir, self.state,
-                                  trial=trial, epoch=epoch, acc=acc,
-                                  use_async=cfg.async_checkpoint)
-        if cfg.async_checkpoint:
-            ckpt.wait_for_async_saves()
-        if best_state is not None:
-            params, batch_stats = best_state
-            self.state = self.state.replace(params=params,
-                                            batch_stats=batch_stats)
-        # final_test_mode is validated at config construction (fail-fast)
-        if cfg.final_test_mode == "layerwise":
-            accs = self.evaluate_layerwise(("valid", "test"))
-            res.final_valid_acc = accs["valid"]
-            res.final_test_acc = accs["test"]
-        else:
-            res.final_valid_acc = self.evaluate("valid")
-            res.final_test_acc = self.evaluate("test")
-        self.logger.log("trial_result", trial, res.best_epoch,
-                        res.final_valid_acc, res.final_test_acc)
-        return res
+def run_trial_impl(trainer, trial: int = 0,
+                   checkpoint_dir: Optional[str] = None) -> TrialResult:
+    """THE trial loop (driver/main.py:188-245), shared by the single-host
+    Trainer and the DistributedTrainer: epochs, periodic validation,
+    best-snapshot tracking, collective checkpointing, RESUME=1 restart
+    with cross-host min-epoch agreement, and the final test scored by
+    ``final_test_mode``. One implementation — the round-2 review flagged
+    the duplicated distributed copy in driver.py as drift-prone.
+
+    ``trainer`` provides: cfg, logger, state, train_epoch(e) → float loss
+    or metrics dict with "loss", evaluate(split), evaluate_layerwise(),
+    _trial_reset(trial), _device_snapshot(host_snapshot).
+    """
+    import os
+
+    from . import checkpoint as ckpt
+    from .state import ReduceLROnPlateau
+
+    cfg = trainer.cfg
+    trainer._trial_reset(trial)
+    res = TrialResult()
+    best_state = None
+    scheduler = (ReduceLROnPlateau(cfg.lrs_factor, cfg.effective_patience)
+                 if cfg.use_lrs else None)
+    start_epoch = 0
+    if checkpoint_dir and os.environ.get("RESUME", "0") == "1":
+        resume = ckpt.latest_epoch(checkpoint_dir, trial)
+        if jax.process_count() > 1:
+            # hosts must agree on the resume point, or they run different
+            # numbers of collective programs and desync; min(): resume
+            # only to an epoch EVERY host has
+            from jax.experimental import multihost_utils
+
+            local = -1 if resume is None else resume
+            agreed = int(multihost_utils.process_allgather(
+                np.asarray([local], np.int32)).min())
+            if agreed != local:
+                trainer.logger.log("resume_mismatch", trial, local, agreed)
+            resume = agreed if agreed >= 0 else None
+        if resume is not None:
+            trainer.state = ckpt.restore(checkpoint_dir, trainer.state,
+                                         trial, resume)
+            start_epoch = resume + 1
+            trainer.logger.log("resumed", trial, resume)
+    for epoch in range(start_epoch, cfg.epochs):
+        t0 = time.perf_counter()
+        m = trainer.train_epoch(epoch)
+        loss = m["loss"] if isinstance(m, dict) else m
+        dt = time.perf_counter() - t0
+        trainer.logger.log("epoch_time", trial, epoch, round(dt, 3))
+        res.epoch_times.append(dt)
+        res.losses.append(loss)
+        if scheduler is not None:
+            trainer.state = scheduler.step(trainer.state, loss)
+        if (epoch + 1) % cfg.test_epoch_frequency == 0:
+            acc = trainer.evaluate("valid")
+            trainer.logger.log("valid_acc", trial, epoch, acc)
+            if acc > res.best_valid_acc:
+                res.best_valid_acc = acc
+                res.best_epoch = epoch
+                # replicated arrays are process-locally readable: snapshot
+                # on EVERY process for the in-memory best-model restore
+                best_state = jax.tree_util.tree_map(
+                    np.asarray,
+                    (trainer.state.params, trainer.state.batch_stats))
+                if checkpoint_dir:
+                    # Orbax save is a COLLECTIVE in a multi-controller
+                    # runtime — every process must enter it; only process
+                    # 0 appends the metadata line (shared-fs guard)
+                    ckpt.save(checkpoint_dir, trainer.state,
+                              trial=trial, epoch=epoch,
+                              acc=(acc if jax.process_index() == 0
+                                   else None),
+                              use_async=cfg.async_checkpoint)
+    if cfg.async_checkpoint:
+        ckpt.wait_for_async_saves()
+    if best_state is not None:
+        # score the best-validation model, not the last epoch
+        # (driver/main.py:220-235 reloads the best checkpoint)
+        params, batch_stats = trainer._device_snapshot(best_state)
+        trainer.state = trainer.state.replace(params=params,
+                                              batch_stats=batch_stats)
+    # final_test_mode is validated at config construction (fail-fast)
+    if cfg.final_test_mode == "layerwise":
+        accs = trainer.evaluate_layerwise(("valid", "test"))
+        res.final_valid_acc = accs["valid"]
+        res.final_test_acc = accs["test"]
+    else:
+        res.final_valid_acc = trainer.evaluate("valid")
+        res.final_test_acc = trainer.evaluate("test")
+    trainer.logger.log("trial_result", trial, res.best_epoch,
+                       res.final_valid_acc, res.final_test_acc)
+    return res

@@ -153,6 +153,10 @@ def test_distributed_cold_tier_equivalent():
             hidden_features=16, num_layers=2, lr=0.01, num_workers=2,
             calibration_batches=2, seed=6, hbm_fraction=frac,
             cold_mode=mode,
+            # exact bf16 wire: this test asserts BIT-equality between the
+            # tiers; the fp8 default quantizes exchange rows in the full-
+            # HBM run that the cold runs serve exactly from host RAM
+            wire_fp8=False,
         )
         t = DistributedTrainer(cfg, g, labels, mesh=make_mesh(WORLD))
         m = t.train_epoch(0)
