@@ -17,7 +17,12 @@ products-drill:
 	python -m salient_plusplus_tpu.utils.readiness_drill \
 	    --nodes 2450000 --parts 8 --epochs 3 --out docs/products_drill.json
 
+# parallel by default: 14.4 -> 7.5 min on a 4-core host (pytest-xdist);
+# use `make test-seq` when debugging worker-interleaved output
 test:
+	python -m pytest tests/ -q -n auto
+
+test-seq:
 	python -m pytest tests/ -q
 
 sanitize:
