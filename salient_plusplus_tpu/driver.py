@@ -79,6 +79,10 @@ def load_dataset(cfg, name: str):
                                          meta["num_parts"])
         return GraphData.load(cfg.dataset_root, name)
     # fall back to OGB ingest when the package is available
+    if name == "MAG240":  # homogeneous MAG240M papers component
+        from .data.ogb import load_mag240
+
+        return load_mag240(cfg.dataset_root)
     from .data.ogb import load_ogb
 
     return load_ogb(name, cfg.dataset_root)

@@ -30,7 +30,7 @@ import urllib.request
 BUCKET = os.environ.get(
     "SPTPU_DATASET_BUCKET",
     "https://salient-datasets-ae.s3.amazonaws.com")
-KNOWN = ("ogbn-arxiv", "ogbn-products", "ogbn-papers100M")
+KNOWN = ("ogbn-arxiv", "ogbn-products", "ogbn-papers100M", "MAG240")
 
 
 def archive_url(name: str, k: int) -> str:
