@@ -206,11 +206,13 @@ def main():
     bytes_per_batch = feeder.bytes_fed / max(n, 1)
 
     # --- gather-roofline (the "speed-of-light is checkable" statement) ---
-    # The step is bound by XLA's unsorted row gathers at ~11.6 ns/row on
-    # this chip (chained microbenchmark, PERF_NOTES.md "Where the round-1
-    # gap actually was"; full-tile-read behavior, width-independent up to
-    # 128 lanes). Rows gathered per step, from the CAPACITY shapes the
-    # compiled program actually executes (tight-bucket weighted):
+    # The step is bound by XLA's unsorted row gathers (full-tile-read
+    # behavior, width-independent up to 128 lanes; PERF_NOTES.md "Where
+    # the round-1 gap actually was"). The per-row cost is MEASURED LIVE on
+    # this chip right here (chip state varies run to run; the round-2
+    # constant was 11.6 ns/row) so roofline_frac is a true fraction of
+    # this run's ceiling. Rows gathered per step, from the CAPACITY shapes
+    # the compiled program actually executes (tight-bucket weighted):
     #   gsrc mode:   prefix(node_caps[L-1]) + outer-hop msgs(edge_caps[-1])
     #                + 2x inner-hop msgs (fwd + bwd mirrors)
     #   frontier mode: full frontier + all fwd msgs + inner bwd mirrors
@@ -228,7 +230,8 @@ def main():
     if trainer.train_tight is not None:
         rows_step = (tight_frac * gather_rows(trainer.train_tight)
                      + (1 - tight_frac) * rows_step)
-    t_floor = rows_step * 11.6e-9
+    gather_ns = _measure_gather_ns(jax, trainer.features)
+    t_floor = rows_step * gather_ns * 1e-9
     roofline_eps = edges_per_batch / t_floor
     # H2D demand vs the tunnel's measured sustained credit (~160 MB/s,
     # PERF_NOTES.md): a window whose byte-rate exceeds the credit measures
@@ -242,6 +245,7 @@ def main():
           f"sampler_blocked={it.stats.total_blocked_dur:.2f}s "
           f"sample_time={it.stats.sample_time:.1f}s "
           f"bytes/batch={bytes_per_batch / 1e6:.2f}MB "
+          f"gather={gather_ns:.1f}ns/row "
           f"roofline={roofline_eps / 1e6:.1f}M e/s "
           f"pad_waste_nodes={it.stats.node_waste(spec.total_node_cap):.3f} "
           f"pad_waste_edges={it.stats.edge_waste(sum(spec.edge_caps)):.3f} "
@@ -258,11 +262,12 @@ def main():
         "window_min": round(min(windows), 1),
         "window_median": round(float(np.median(windows)), 1),
         "vs_baseline_min": round(min(windows) / BASELINE_EDGES_PER_S, 4),
-        # fraction of the 11.6 ns/row gather-bound ceiling (see stderr
-        # derivation above; >1 impossible, ~1 = at speed-of-light for
-        # this step formulation)
+        # fraction of the gather-bound ceiling at the LIVE-measured
+        # per-row gather cost (~1 = at speed-of-light for this step
+        # formulation, on this chip, right now)
         "roofline_edges_per_s": round(roofline_eps, 1),
         "roofline_frac": round(eps / roofline_eps, 4),
+        "gather_ns_per_row": round(gather_ns, 2),
         "gather_rows_per_step": int(rows_step),
         # tunnel-vs-chip: windows needing more H2D MB/s than the remote
         # tunnel's sustained credit (~160 MB/s measured, PERF_NOTES.md)
@@ -285,6 +290,50 @@ def main():
         "pad_waste_edges": round(it.stats.edge_waste(sum(spec.edge_caps)), 4),
         "tight_frac": round(tight_frac, 4),
     }))
+
+
+def _measure_gather_ns(jax, table, rows=262_144, n1=3, n2=11):
+    """Per-row cost of an unsorted XLA row gather, measured live on the
+    bench chip against the bench's own feature table. Dependency-chained
+    (each iteration's indices derive from the previous gather's output) and
+    timed at two chain lengths with the slope taken — the remote platform
+    caches identical executions, so naive repeat-timing is invalid
+    (PERF_NOTES.md "chained microbenchmarks"). Slope timing also cancels
+    dispatch/sync overhead. Falls back to the round-2 constant via the
+    BENCH_GATHER_NS env override."""
+    import jax.numpy as jnp
+
+    env = os.environ.get("BENCH_GATHER_NS")
+    if env:
+        return float(env)
+    V = table.shape[0]
+
+    def chain(n, idx):
+        def body(i, ix):
+            out = jnp.take(table, ix, axis=0)
+            # fold the gathered rows back into the next indices: a real
+            # data dependency (serializes iterations) that keeps the
+            # index distribution pseudo-random
+            return (ix + out[:, 0].astype(jnp.int32) + i + 1) % V
+        return jax.lax.fori_loop(0, n, body, idx)
+
+    fns = {n: jax.jit(chain, static_argnums=0) for n in (n1, n2)}
+    rng = np.random.default_rng(11)
+
+    def run(n, seed):
+        idx = jnp.asarray(rng.integers(0, V, rows, dtype=np.int32))
+        jax.block_until_ready(idx)
+        t0 = time.perf_counter()
+        jax.block_until_ready(fns[n](n, idx))
+        return time.perf_counter() - t0
+
+    for n in (n1, n2):  # compile + first-execution warmup
+        run(n, 0)
+    t1, t2 = run(n1, 1), run(n2, 2)
+    ns = (t2 - t1) / (n2 - n1) / rows * 1e9
+    if not (0.1 < ns < 1000.0):  # nonsensical slope (throttle hiccup)
+        return 11.6
+    return ns
 
 
 def _cycle_unique(idx, need, batch_size=1024):
