@@ -87,11 +87,13 @@ def main():
     jax.block_until_ready(
         jax.device_put(np.zeros((8, 8), np.float32)))  # first contact
     contact_ok.set()
+    h2d_burst = None
     if jax.devices()[0].platform != "cpu" and \
             os.environ.get("BENCH_PREFLIGHT", "1") != "0":
-        _await_h2d_credit(jax)
+        h2d_burst = _await_h2d_credit(jax)
 
     num_nodes = int(os.environ.get("BENCH_NUM_NODES", 1_000_000))
+    model_name = os.environ.get("BENCH_MODEL", "SAGE")
     steps = int(os.environ.get("BENCH_STEPS", 60))
     warmup = int(os.environ.get("BENCH_WARMUP", 60))
     # >HBM regime: hot prefix in HBM, cold tail served from host RAM by
@@ -115,6 +117,7 @@ def main():
     cfg = RunConfig(
         train_batch_size=1024, train_fanouts=[15, 10, 5],
         hidden_features=256, num_layers=3, lr=0.003,
+        model_name=model_name,
         # oversubscribe: the feeder thread mostly blocks on device
         # dispatch, so cpu_count sampler threads beat cpu_count-1 (the
         # 3->4 worker change alone was +20% on the 4-core bench host)
@@ -232,7 +235,11 @@ def main():
                      + (1 - tight_frac) * rows_step)
     gather_ns = _measure_gather_ns(jax, trainer.features)
     t_floor = rows_step * gather_ns * 1e-9
-    roofline_eps = edges_per_batch / t_floor
+    # the row-count model above is SAGE's aggregation structure; other
+    # archs (BENCH_MODEL) gather extra rows (e.g. GAT dst rows per edge),
+    # so the ceiling claim is only made for the flagship
+    roofline_eps = edges_per_batch / t_floor if model_name == "SAGE" \
+        else None
     # H2D demand vs the tunnel's measured sustained credit (~160 MB/s,
     # PERF_NOTES.md): a window whose byte-rate exceeds the credit measures
     # the tunnel, not the chip — the tunnel-vs-chip distinction, in-JSON.
@@ -246,13 +253,14 @@ def main():
           f"sample_time={it.stats.sample_time:.1f}s "
           f"bytes/batch={bytes_per_batch / 1e6:.2f}MB "
           f"gather={gather_ns:.1f}ns/row "
-          f"roofline={roofline_eps / 1e6:.1f}M e/s "
+          f"roofline={roofline_eps / 1e6 if roofline_eps else -1:.1f}M e/s "
           f"pad_waste_nodes={it.stats.node_waste(spec.total_node_cap):.3f} "
           f"pad_waste_edges={it.stats.edge_waste(sum(spec.edge_caps)):.3f} "
           f"tight_frac={tight_frac:.3f}",
           file=sys.stderr)
     print(json.dumps({
         "metric": "train_edges_per_s_per_chip",
+        "model": model_name,
         "value": round(eps, 1),
         "unit": "edges/s",
         "vs_baseline": round(eps / BASELINE_EDGES_PER_S, 4),
@@ -265,14 +273,21 @@ def main():
         # fraction of the gather-bound ceiling at the LIVE-measured
         # per-row gather cost (~1 = at speed-of-light for this step
         # formulation, on this chip, right now)
-        "roofline_edges_per_s": round(roofline_eps, 1),
-        "roofline_frac": round(eps / roofline_eps, 4),
+        "roofline_edges_per_s":
+            round(roofline_eps, 1) if roofline_eps else None,
+        "roofline_frac":
+            round(eps / roofline_eps, 4) if roofline_eps else None,
         "gather_ns_per_row": round(gather_ns, 2),
         "gather_rows_per_step": int(rows_step),
         # tunnel-vs-chip: windows needing more H2D MB/s than the remote
         # tunnel's sustained credit (~160 MB/s measured, PERF_NOTES.md)
         # are throttled by the link, not the chip
         "h2d_required_mb_per_s": [round(r, 1) for r in h2d_required],
+        # the link's burst rate measured at bench start (fresh credit);
+        # sustained credit is lower — windows requiring more than the
+        # delivered rate were link-throttled
+        "h2d_burst_mb_per_s":
+            round(h2d_burst, 1) if h2d_burst else None,
         "bytes_per_batch": int(bytes_per_batch),
         "hbm_fraction": hbm_fraction,
         # >HBM host-tier stats: rows served from host RAM per batch, and

@@ -16,6 +16,17 @@ import numpy as np
 from .dataset import GraphData, symmetrize_csr
 
 
+def _coo_to_csr(src: np.ndarray, dst: np.ndarray, V: int):
+    """COO edge list → CSR, at ingest scale (MAG240 is 1.3G directed
+    edges: bincount for degrees + one argsort; np.add.at is ~10x slower
+    there). Returns (int64 rowptr, int32 col) sorted by source."""
+    rowptr = np.zeros(V + 1, np.int64)
+    rowptr[1:] = np.bincount(src, minlength=V)
+    np.cumsum(rowptr, out=rowptr)
+    order = np.argsort(src, kind="stable")
+    return rowptr, dst[order].astype(np.int32)
+
+
 def load_ogb(name: str, root: str, cache: bool = True) -> GraphData:
     try:
         from ogb.nodeproppred import NodePropPredDataset
@@ -32,12 +43,8 @@ def load_ogb(name: str, root: str, cache: bool = True) -> GraphData:
     V = g["num_nodes"]
     src = g["edge_index"][0].astype(np.int64)
     dst = g["edge_index"][1].astype(np.int64)
-    order = np.argsort(src, kind="stable")
-    src, dst = src[order], dst[order]
-    rowptr = np.zeros(V + 1, np.int64)
-    np.add.at(rowptr, src + 1, 1)
-    np.cumsum(rowptr, out=rowptr)
-    rowptr, col = symmetrize_csr(rowptr, dst.astype(np.int32), V)
+    rowptr, col = _coo_to_csr(src, dst, V)
+    rowptr, col = symmetrize_csr(rowptr, col, V)
 
     x = np.ascontiguousarray(g["node_feat"], dtype=np.float16)
     y = np.nan_to_num(labels.reshape(-1), nan=-1).astype(np.int32)
@@ -70,12 +77,8 @@ def import_mag240(edge_index: np.ndarray, x: np.ndarray, y: np.ndarray,
     src = np.asarray(edge_index[0], np.int64)
     dst = np.asarray(edge_index[1], np.int64)
     V = int(x.shape[0])
-    order = np.argsort(src, kind="stable")
-    src, dst = src[order], dst[order]
-    rowptr = np.zeros(V + 1, np.int64)
-    np.add.at(rowptr, src + 1, 1)
-    np.cumsum(rowptr, out=rowptr)
-    rowptr, col = symmetrize_csr(rowptr, dst.astype(np.int32), V)
+    rowptr, col = _coo_to_csr(src, dst, V)
+    rowptr, col = symmetrize_csr(rowptr, col, V)
 
     y = np.asarray(y).reshape(-1)
     if np.issubdtype(y.dtype, np.floating):
