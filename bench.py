@@ -233,7 +233,7 @@ def main():
     if trainer.train_tight is not None:
         rows_step = (tight_frac * gather_rows(trainer.train_tight)
                      + (1 - tight_frac) * rows_step)
-    gather_ns = _measure_gather_ns(jax, trainer.features)
+    gather_ns, gather_src = _measure_gather_ns(jax, trainer.features)
     t_floor = rows_step * gather_ns * 1e-9
     # the row-count model above is SAGE's aggregation structure; other
     # archs (BENCH_MODEL) gather extra rows (e.g. GAT dst rows per edge),
@@ -252,8 +252,10 @@ def main():
           f"sampler_blocked={it.stats.total_blocked_dur:.2f}s "
           f"sample_time={it.stats.sample_time:.1f}s "
           f"bytes/batch={bytes_per_batch / 1e6:.2f}MB "
-          f"gather={gather_ns:.1f}ns/row "
-          f"roofline={roofline_eps / 1e6 if roofline_eps else -1:.1f}M e/s "
+          f"gather={gather_ns:.1f}ns/row({gather_src}) "
+          f"roofline="
+          f"{roofline_eps / 1e6 if roofline_eps is not None else -1:.1f}"
+          f"M e/s "
           f"pad_waste_nodes={it.stats.node_waste(spec.total_node_cap):.3f} "
           f"pad_waste_edges={it.stats.edge_waste(sum(spec.edge_caps)):.3f} "
           f"tight_frac={tight_frac:.3f}",
@@ -274,10 +276,12 @@ def main():
         # per-row gather cost (~1 = at speed-of-light for this step
         # formulation, on this chip, right now)
         "roofline_edges_per_s":
-            round(roofline_eps, 1) if roofline_eps else None,
+            round(roofline_eps, 1) if roofline_eps is not None else None,
         "roofline_frac":
-            round(eps / roofline_eps, 4) if roofline_eps else None,
+            round(eps / roofline_eps, 4)
+            if roofline_eps is not None else None,
         "gather_ns_per_row": round(gather_ns, 2),
+        "gather_ns_source": gather_src,
         "gather_rows_per_step": int(rows_step),
         # tunnel-vs-chip: windows needing more H2D MB/s than the remote
         # tunnel's sustained credit (~160 MB/s measured, PERF_NOTES.md)
@@ -287,7 +291,7 @@ def main():
         # sustained credit is lower — windows requiring more than the
         # delivered rate were link-throttled
         "h2d_burst_mb_per_s":
-            round(h2d_burst, 1) if h2d_burst else None,
+            round(h2d_burst, 1) if h2d_burst is not None else None,
         "bytes_per_batch": int(bytes_per_batch),
         "hbm_fraction": hbm_fraction,
         # >HBM host-tier stats: rows served from host RAM per batch, and
@@ -314,14 +318,23 @@ def _measure_gather_ns(jax, table, rows=262_144, n1=3, n2=11):
     timed at two chain lengths with the slope taken — the remote platform
     caches identical executions, so naive repeat-timing is invalid
     (PERF_NOTES.md "chained microbenchmarks"). Slope timing also cancels
-    dispatch/sync overhead. Falls back to the round-2 constant via the
-    BENCH_GATHER_NS env override."""
+    dispatch/sync overhead. Returns (ns_per_row, source) where source ∈
+    {"measured", "fallback", "env"} — the fallback (round-2 constant on a
+    nonsensical slope, e.g. a throttle hiccup) must be visible in the JSON,
+    not silent (a stale constant is exactly how roofline_frac > 1 happened
+    once). BENCH_GATHER_NS overrides."""
+    import sys
+
     import jax.numpy as jnp
 
     env = os.environ.get("BENCH_GATHER_NS")
     if env:
-        return float(env)
+        return float(env), "env"
     V = table.shape[0]
+    # probing a tiny table with many repeated indices is cache-friendly and
+    # under-reports ns/row; keep the probe no larger than the table so the
+    # number is comparable across BENCH_NUM_NODES settings
+    rows = min(rows, V)
 
     def chain(n, idx):
         def body(i, ix):
@@ -335,7 +348,7 @@ def _measure_gather_ns(jax, table, rows=262_144, n1=3, n2=11):
     fns = {n: jax.jit(chain, static_argnums=0) for n in (n1, n2)}
     rng = np.random.default_rng(11)
 
-    def run(n, seed):
+    def run(n):
         idx = jnp.asarray(rng.integers(0, V, rows, dtype=np.int32))
         jax.block_until_ready(idx)
         t0 = time.perf_counter()
@@ -343,12 +356,15 @@ def _measure_gather_ns(jax, table, rows=262_144, n1=3, n2=11):
         return time.perf_counter() - t0
 
     for n in (n1, n2):  # compile + first-execution warmup
-        run(n, 0)
-    t1, t2 = run(n1, 1), run(n2, 2)
+        run(n)
+    t1, t2 = run(n1), run(n2)
     ns = (t2 - t1) / (n2 - n1) / rows * 1e9
     if not (0.1 < ns < 1000.0):  # nonsensical slope (throttle hiccup)
-        return 11.6
-    return ns
+        print(f"WARNING: gather probe slope nonsensical ({ns:.2f} ns/row) "
+              "— falling back to the round-2 constant 11.6; roofline "
+              "fields are NOT live-calibrated this run", file=sys.stderr)
+        return 11.6, "fallback"
+    return ns, "measured"
 
 
 def _cycle_unique(idx, need, batch_size=1024):

@@ -96,6 +96,13 @@ class RunConfig:
     # path (sampling/batch.py EdgeBlock packed fields); auto-disabled when
     # shipped ids can reach 2^24 (e.g. gsrc mode on >16M-node graphs)
     pack_wire: bool = True
+    # layer-0 global-table aggregation (gsrc): "auto" enables it for
+    # models whose first hop consumes raw features (SAGE/SAGEClassic/GIN)
+    # on the single-host path — including hbm_fraction<1, where cold rows
+    # live in a slack region of the device table (round-3 review item #2;
+    # ~19-23% fewer gathered rows per step). "off" forces the fallback
+    # frontier-gather path (the bit-equality cross-check target).
+    gsrc_mode: str = "auto"
 
     # --- final inference (driver/main.py:220-245) ---
     # "batchwise" = sampled eval at final_test_fanouts (the reference's
@@ -147,12 +154,25 @@ class RunConfig:
             "cold_mode": ("owner", "replicated"),
             "train_sampler": ("FastSampler", "FastPreSampler",
                               "OracleSampler"),
+            "gsrc_mode": ("auto", "off"),
         }
         for name, allowed in checks.items():
             v = getattr(self, name)
             if v not in allowed:
                 raise ValueError(
                     f"{name}={v!r}: expected one of {allowed}")
+        if not (0.0 < self.hbm_fraction <= 1.0):
+            raise ValueError(
+                f"hbm_fraction={self.hbm_fraction}: must be in (0, 1]")
+        # silently-ignored combinations must die here, not run a full
+        # training job with the option off (round-3 review: cold_fp8 was
+        # ignored in owner mode — now implemented — and is meaningless
+        # without a cold tier)
+        if self.cold_fp8 and self.hbm_fraction >= 1.0:
+            raise ValueError(
+                "cold_fp8=True has no effect with hbm_fraction=1.0 "
+                "(no host cold tier exists to encode) — set "
+                "hbm_fraction<1 or drop cold_fp8")
 
     @property
     def effective_patience(self) -> int:

@@ -80,7 +80,9 @@ def fp8_encode_rows_np(x: "np.ndarray"):
 
     xf = np.asarray(x, np.float32)
     amax = np.abs(xf).max(axis=1)
-    q_scale = np.where(amax > 0, _FP8_MAX / amax, 1.0).astype(np.float32)
+    # masked divide (np.where would still EVALUATE _FP8_MAX/0 and warn)
+    q_scale = np.ones_like(amax, np.float32)
+    np.divide(_FP8_MAX, amax, out=q_scale, where=amax > 0)
     payload = (xf * q_scale[:, None]).astype(ml_dtypes.float8_e4m3fn)
     return payload.view(np.uint8), (amax / _FP8_MAX).astype(np.float32)
 

@@ -159,10 +159,29 @@ class BatchBuffers:
         # slot itself carries GLOBAL ids (no duplicate array on the wire)
         self.gsrc = np.zeros(0, np.int32)
 
-    def fill_gsrc(self):
+    def fill_gsrc(self, hot_cutoff: int | None = None):
         """Rewrite the outermost hop's src in place to global ids
         (n_id[src]); its local ids are only ever used as gather indices
-        into the frontier, which layer 0 skips in gsrc mode."""
+        into the frontier, which layer 0 skips in gsrc mode.
+
+        With ``hot_cutoff`` (single-host cold tier + gsrc — round-3 review
+        item #2: hbm<1 used to silently drop gsrc mode, paying ~19-23%
+        more gathered rows every >HBM step), cold frontier ids are first
+        remapped IN n_id to ``hot_cutoff + cold_slot`` (fill_cold's
+        ascending slot order): the trainer keeps this batch's cold rows in
+        a slack region of the device feature table right after the hot
+        prefix, so ONE table serves both the layer-0 message gather and
+        the level-(L-1) prefix gather — no overlay scatter remains."""
+        if hot_cutoff is not None and self.cold_pos is not None:
+            n = int(self.level_sizes[-1])
+            cnt = int(self.cold_count)
+            pos_all = np.flatnonzero(self.n_id[:n] >= hot_cutoff)
+            self.n_id[pos_all[:cnt]] = (
+                hot_cutoff + np.arange(cnt, dtype=np.int32))
+            # over-budget cold rows (no slot) alias slot 0 — already
+            # surfaced via dropped_cold and self-corrected by cap growth
+            if len(pos_all) > cnt:
+                self.n_id[pos_all[cnt:]] = hot_cutoff
         off = int(self.edge_offsets[self.spec.num_hops - 1])
         cap = int(self.spec.edge_caps[-1])
         get_lib().sptpu_take_i32_inplace(
@@ -269,9 +288,14 @@ class BatchBuffers:
         if cfg.compress_dst:
             self.attach_ddeg()
         if cfg.pack_wire:
+            # gsrc+cold encodes cold ids as hot_cutoff + slot, so the
+            # shipped id space can exceed num_nodes by up to the cold cap
+            idspace = num_nodes
+            if cfg.emit_gsrc and cfg.hot_cutoff is not None:
+                idspace = max(num_nodes, cfg.hot_cutoff + cfg.cold_cap)
             self.attach_pack(
-                pack_src_maxval(cfg.spec, cfg.emit_gsrc, num_nodes),
-                node_caps=pack_node_caps, num_nodes=num_nodes)
+                pack_src_maxval(cfg.spec, cfg.emit_gsrc, idspace),
+                node_caps=pack_node_caps, num_nodes=idspace)
 
     def finalize_from_config(self, cfg) -> int:
         """Post-:meth:`NativeSampler.sample_into` fills, in the
@@ -293,7 +317,12 @@ class BatchBuffers:
         if cfg.compress_dst:
             self.fill_ddeg()
         if cfg.emit_gsrc:
-            self.fill_gsrc()
+            # single-host cold tier: remap cold ids to slack slots (the
+            # distributed tiers keep gsrc off — see train/loop.py gate)
+            self.fill_gsrc(cfg.hot_cutoff
+                           if (cfg.hot_cutoff is not None
+                               and cfg.cold_part_size is None
+                               and not cfg.cold_owner_mode) else None)
         if cfg.pack_wire:
             self.fill_pack()
         return dropped

@@ -112,6 +112,7 @@ class DistributedTrainer:
         S = int(self.part_offsets[1] - self.part_offsets[0])
         self.x_cold = None
         self.x_cold_own = None
+        self.x_cold_own_scale = None
         self.x_cold_scale = None
         if cfg.hbm_fraction < 1.0:
             H = max(128, (int(S * cfg.hbm_fraction) // 128) * 128)
@@ -121,10 +122,24 @@ class DistributedTrainer:
                 # owner-served tier: each local device keeps ONLY its own
                 # partition's cold tail in host RAM — O(V/k) per host;
                 # remote cold rows ride the pre-step cold all_to_all
-                self.x_cold_own = [
+                tails = [
                     np.ascontiguousarray(np.asarray(x_local[i])[H:])
                     for i in range(len(x_local))
                 ]
+                if cfg.cold_fp8:
+                    # pre-encode each tail once (uint8 e4m3 + f32/row
+                    # scale): the serve a2a then ships F+4 bytes/row
+                    # instead of 2F, the same 1.76x measured payload cut
+                    # the replicated tier gets (PERF_NOTES round-3 #2) —
+                    # round-3 review flagged owner mode silently ignoring
+                    # cold_fp8 (VERDICT weak #3)
+                    from ..parallel.exchange import fp8_encode_rows_np
+
+                    enc = [fp8_encode_rows_np(t) for t in tails]
+                    self.x_cold_own = [e[0] for e in enc]
+                    self.x_cold_own_scale = [e[1] for e in enc]
+                else:
+                    self.x_cold_own = tails
             else:
                 assert x_all is not None and len(x_all) == self.world, (
                     "replicated cold tier needs every partition's shard "
@@ -213,6 +228,7 @@ class DistributedTrainer:
                              if self.hot_size is not None else 0)
             self.cold_r_cap = 0
         self._a2a = None  # lazily-built cold all_to_all program
+        self._fp8_split = None  # lazily-built cold fp8 wire splitter
         self._psum_prog = None  # lazily-built host-stat agreement psum
         self.eval_specs: Dict = {}
 
@@ -390,13 +406,18 @@ class DistributedTrainer:
     def _cold_serve(self, recv, cap: int):
         """Host-gather requested rows from each local device's OWN cold
         tail (O(V/k) per host) and dispatch the rows all_to_all back.
-        Returns a mesh-sharded [ndev, world*cap, F] array aligned with the
-        packed cold_pos layout."""
+        Returns ``(rows, scale)`` aligned with the packed cold_pos layout:
+        mesh-sharded [ndev, world*cap, F] rows plus, in cold_fp8 mode,
+        the per-row f32 dequant scales ([ndev, world*cap]; the fp8 wire is
+        F+4 uint8 bytes/row through ONE fused collective — the same format
+        as the exchange's wire_fp8). scale is None without cold_fp8."""
         from ..sampling.cpp import gather_rows
 
+        fp8 = self.x_cold_own_scale is not None
         F = int(self.x_cold_own[0].shape[1])
-        rows = np.zeros((len(self.local_ranks), self.world, cap, F),
-                        self.x_cold_own[0].dtype)
+        W = F + 4 if fp8 else F
+        rows = np.zeros((len(self.local_ranks), self.world, cap, W),
+                        np.uint8 if fp8 else self.x_cold_own[0].dtype)
         # serve from each local device's own tail (multi-process safe:
         # only addressable shards are read)
         for sh in recv.addressable_shards:
@@ -407,8 +428,28 @@ class DistributedTrainer:
             if m.any():
                 idx = ((got[m].astype(np.int64) % self.part_size)
                        - self.hot_size)
-                rows[li][m] = gather_rows(self.x_cold_own[li], idx)
-        return self._a2a(self._to_global(rows))          # [ndev, world*cap, F]
+                payload = gather_rows(self.x_cold_own[li], idx)
+                if fp8:
+                    # boolean mask m spans dims (world, cap) → [nm, W] rows
+                    rows[li][m, :F] = payload
+                    rows[li][m, F:] = (
+                        np.ascontiguousarray(
+                            self.x_cold_own_scale[li][idx], np.float32)
+                        .view(np.uint8).reshape(-1, 4))
+                else:
+                    rows[li][m] = payload
+        served = self._a2a(self._to_global(rows))        # [ndev, world*cap, W]
+        if not fp8:
+            return served, None
+        if self._fp8_split is None or self._fp8_split[0] != F:
+            def split(r):
+                scale = jax.lax.bitcast_convert_type(
+                    r[..., F:].reshape(r.shape[0], r.shape[1], 1, 4),
+                    jnp.float32)[..., 0]
+                return r[..., :F], scale
+
+            self._fp8_split = (F, jax.jit(split))
+        return self._fp8_split[1](served)
 
     def _exchange_cold(self, reqs, cap: int):
         """Unoverlapped ids→gather→rows exchange (see the split halves)."""
@@ -631,8 +672,9 @@ class DistributedTrainer:
                 nxt = _assemble() if step_i + 1 < n_iters else None
                 if ids_recv is not None:
                     t2 = time.perf_counter()
-                    dev = dev.replace(cold_rows=self._cold_serve(
-                        ids_recv, self.cold_r_cap))
+                    rows, scale = self._cold_serve(ids_recv,
+                                                   self.cold_r_cap)
+                    dev = dev.replace(cold_rows=rows, cold_scale=scale)
                     cold_serve += time.perf_counter() - t2
                 self.state, loss, ex = self.train_step(
                     self.state, self.features, dev,
@@ -706,6 +748,17 @@ class DistributedTrainer:
         F = int(self.features.shape[1])
         row_b = wire_row_bytes(F, self.features.dtype, self.cfg.wire_fp8)
         wire_bytes = n_iters * self.world * self.r_cap * (row_b + 4)
+        cold_wire_bytes = 0
+        if self._owner_cold:
+            # pre-step cold a2a: 4B id per slot out + served row back
+            # (fp8: F+4 uint8 through one fused collective, else bf16 2F)
+            crow_b = wire_row_bytes(F, self.features.dtype,
+                                    self.cfg.cold_fp8)
+            cold_wire_bytes = (n_iters * self.world * self.cold_r_cap
+                               * (crow_b + 4))
+            self.logger.log("COLD_WIRE_BYTES", epoch, cold_wire_bytes,
+                            "cold_r_cap", self.cold_r_cap,
+                            "cold_fp8", self.cfg.cold_fp8)
         self.logger.log("NUM_SENT_BYTES", epoch, sent_bytes)
         self.logger.log("WIRE_BYTES", epoch, wire_bytes, "r_cap", self.r_cap)
         self.logger.log("epoch", epoch, "loss", mean_loss,
@@ -730,6 +783,7 @@ class DistributedTrainer:
             self.logger.log("R_CAP_GROWN_AFTER_OVERFLOW", self.r_cap)
         return {"loss": mean_loss, "sent_bytes": sent_bytes,
                 "wire_bytes": wire_bytes, "r_cap": self.r_cap,
+                "cold_wire_bytes": cold_wire_bytes,
                 "remote": remote, "cache_hits": cached_hits,
                 "local": local, "overflow": overflow,
                 "iters": n_iters, "tight_steps": tight_steps}
@@ -815,8 +869,8 @@ class DistributedTrainer:
             dev, ids_recv = nxt
             nxt = _assemble() if k + 1 < n_iters else None
             if ids_recv is not None:
-                dev = dev.replace(cold_rows=self._cold_serve(
-                    ids_recv, e_cold_rcap))
+                rows, scale = self._cold_serve(ids_recv, e_cold_rcap)
+                dev = dev.replace(cold_rows=rows, cold_scale=scale)
             acc.append(eval_step(self.state, self.features, dev,
                                  self.part_offsets_dev, self.cache))
         drop_n, drop_e, drop_c = (int(v) for v in self._allsum_host(

@@ -168,6 +168,11 @@ class Trainer:
         if x_np.dtype != jnp.bfloat16:
             x_np = x_np.astype(jnp.bfloat16)
         self.x_cold_scale = None
+        # cold rows are UNIQUE frontier members, so a batch can never hold
+        # more than the whole cold tail — the hard cap every growth clamps
+        # to (also what keeps the gsrc slot id space ≤ V + 128)
+        self._cold_cap_max = (0 if self.hot_cutoff is None else
+                              -(-(V - self.hot_cutoff) // 128) * 128)
         if self.hot_cutoff is not None:
             self.x_cold = np.ascontiguousarray(x_np[self.hot_cutoff:])
             if cfg.cold_fp8:
@@ -180,16 +185,24 @@ class Trainer:
             self.x_cold, cold_cap = None, 0
 
         # layer-0 aggregates straight from the HBM table when the model's
-        # first hop consumes raw features and everything is HBM-resident:
-        # the frontier gather then shrinks to the level-(L-1) prefix
-        self.global_msg0 = (self.hot_cutoff is None and
+        # first hop consumes raw features (gsrc mode): the frontier gather
+        # shrinks to the level-(L-1) prefix. With hbm_fraction<1 the cold
+        # rows are written into a slack region of the table before each
+        # step (self._cold_update) and cold ids are remapped to slack
+        # slots by the sampler, so the same single-gather path applies —
+        # round-3 review item #2 (hbm<1 used to force the fallback).
+        self.global_msg0 = (cfg.gsrc_mode != "off" and
                             cfg.model_name in ("SAGE", "SAGEClassic", "GIN"))
+        self._gsrc_cold = self.global_msg0 and self.hot_cutoff is not None
+        self._cold_update_fn = None
+        self._slack = 0
         # ship uint8 per-target degrees instead of int32 dst (wire cut)
         self.compress_dst = all(0 < f <= 127 for f in cfg.train_fanouts)
         # wire-pack int32 index arrays (2-3 bytes/elem); with gsrc the
-        # outer hop ships GLOBAL ids, so gate on num_nodes < 2^24
+        # outer hop ships GLOBAL ids (cold slot encoding adds ≤ 128), so
+        # gate on the whole id space fitting 2^24
         self.pack_wire = (cfg.pack_wire
-                          and (not self.global_msg0 or V < 2**24)
+                          and (not self.global_msg0 or V < 2**24 - 256)
                           and self.train_spec.total_node_cap < 2**24)
         self.train_sampler = FastSampler(
             self.native.rowptr, self.native.col,
@@ -210,6 +223,8 @@ class Trainer:
         hot = x_np if self.hot_cutoff is None else x_np[: self.hot_cutoff]
         self.features = jax.device_put(
             jnp.asarray(hot, jnp.bfloat16), self.device)
+        if self._gsrc_cold:
+            self._ensure_slack(self.train_sampler.cfg.cold_cap)
 
         self.model = make_model(
             cfg.model_name, graph.num_features, cfg.hidden_features,
@@ -229,7 +244,47 @@ class Trainer:
             b = self.native.sample(spec, seeds, rng_seed=77 + i)
             n = int(b.level_sizes[-1])
             worst = max(worst, int((b.n_id[:n] >= self.hot_cutoff).sum()))
-        return int(-(-int(worst * self.cfg.spec_safety) // align) * align)
+        cap = int(-(-int(worst * self.cfg.spec_safety) // align) * align)
+        return min(cap, self._cold_cap_max)
+
+    def _clamped_cold_growth(self, old_cap: int, pool) -> int:
+        """Post-drop cold-budget growth: max(reprobe, 1.25x), hard-clamped
+        at the whole cold tail (a batch's cold rows are unique frontier
+        members, so more is impossible)."""
+        return min(self._cold_cap_max,
+                   max(self._calibrate_cold_cap(pool),
+                       int(-(-int(old_cap * 1.25) // 128) * 128)))
+
+    def _ensure_slack(self, n: int):
+        """Grow the device table's cold slack region to ≥ n rows (gsrc+cold
+        mode: rows [hot_cutoff, hot_cutoff+slack) hold the current batch's
+        cold rows, written by :meth:`_cold_update` before each step)."""
+        if n <= self._slack:
+            return
+        pad = n - self._slack
+        self.features = jax.jit(lambda f: jnp.concatenate(
+            [f, jnp.zeros((pad, f.shape[1]), f.dtype)]))(self.features)
+        self._slack = n
+
+    def _cold_update(self, batch):
+        """Write this batch's cold rows into the slack region (donated —
+        XLA aliases the buffer, so the write is in-place; the device
+        executes programs in dispatch order, so the following step sees
+        exactly its own batch's rows)."""
+        if self._cold_update_fn is None:
+            H = self.hot_cutoff
+
+            def upd(f, rows, scale):
+                if scale is not None:
+                    from ..parallel.exchange import fp8_decode_rows
+
+                    rows = fp8_decode_rows(rows, scale, f.dtype)
+                return jax.lax.dynamic_update_slice(
+                    f, rows.astype(f.dtype), (H, 0))
+
+            self._cold_update_fn = jax.jit(upd, donate_argnums=(0,))
+        self.features = self._cold_update_fn(
+            self.features, batch.cold_rows, batch.cold_scale)
 
     def reset(self, trial_seed: int = 0):
         """Fresh params + optimizer (per-trial reset,
@@ -238,7 +293,12 @@ class Trainer:
         ex = self.native.sample(self.train_spec, ex_seeds,
                                 rng_seed=7, y_global=None)
         ex = jax.device_put(ex, self.device)
-        ex_x = self.features[ex.n_id]
+        # init-only example: shapes matter, values don't — clamp explicitly
+        # (with a hot/cold split, n_id can exceed the hot table's rows;
+        # relying on silent index clamping here was flagged as a trap)
+        ex_x = jnp.take(self.features,
+                        jnp.minimum(ex.n_id, self.features.shape[0] - 1),
+                        axis=0)
         self.state = create_train_state(
             self.model, ex_x, ex, self.cfg.lr,
             seed=self.cfg.seed + trial_seed)
@@ -271,6 +331,8 @@ class Trainer:
                         seed_count=batch.seed_count,
                         edge_counts=[e.count for e in batch.edges])
                 bno += 1
+                if self._gsrc_cold:
+                    self._cold_update(batch)
                 self.state, loss = self.train_step(
                     self.state, self.features, batch)
                 losses.append(loss)
@@ -293,15 +355,17 @@ class Trainer:
                             self.train_spec.edge_caps)
         if it.stats.dropped_cold:
             # over-budget cold rows zero-fill — grow the per-batch cold
-            # buffer (reprobe; never shrink; min 1.25x); the next epoch's
-            # buffer pool picks the new cap up from the config
+            # buffer (reprobe; never shrink; min 1.25x, clamped at the
+            # cold-tail size); the next epoch's buffer pool picks the new
+            # cap up from the config
             scfg = self.train_sampler.cfg
             self.logger.log("WARNING_COLD_DROPPED", epoch,
                             it.stats.dropped_cold, "cold_cap",
                             scfg.cold_cap)
-            scfg.cold_cap = max(
-                self._calibrate_cold_cap(self.graph.split_idx["train"]),
-                int(-(-int(scfg.cold_cap * 1.25) // 128) * 128))
+            scfg.cold_cap = self._clamped_cold_growth(
+                scfg.cold_cap, self.graph.split_idx["train"])
+            if self._gsrc_cold:
+                self._ensure_slack(scfg.cold_cap)
             self.logger.log("COLD_CAP_GROWN", scfg.cold_cap)
         # one batched D2H (device_get overlaps the copies; per-item float()
         # would cost a network round-trip each on remotely-attached TPUs)
@@ -330,6 +394,8 @@ class Trainer:
                 batch = jax.device_put(
                     jax.tree_util.tree_map(np.array, bufs.to_padded_batch()),
                     self.device)
+                if self._gsrc_cold:
+                    self._cold_update(batch)
                 self.state, loss = self.train_step(
                     self.state, self.features, batch)
                 losses.append(loss)
@@ -339,9 +405,10 @@ class Trainer:
             scfg = self.train_sampler.cfg
             self.logger.log("WARNING_COLD_DROPPED", epoch,
                             pre.dropped_cold, "cold_cap", scfg.cold_cap)
-            scfg.cold_cap = max(
-                self._calibrate_cold_cap(self.graph.split_idx["train"]),
-                int(-(-int(scfg.cold_cap * 1.25) // 128) * 128))
+            scfg.cold_cap = self._clamped_cold_growth(
+                scfg.cold_cap, self.graph.split_idx["train"])
+            if self._gsrc_cold:
+                self._ensure_slack(scfg.cold_cap)
             self.logger.log("COLD_CAP_GROWN", scfg.cold_cap)
         mean_loss = float(np.mean(jax.device_get(losses)))
         self.logger.log("epoch", epoch, "loss", mean_loss)
@@ -435,6 +502,10 @@ class Trainer:
     def evaluate(self, split: str) -> float:
         """Batchwise accuracy on a split (base.py:440-525 analog)."""
         sampler = self._eval_sampler(split)
+        if self._gsrc_cold:
+            # eval specs have larger frontiers → possibly a larger cold
+            # budget than the train slack
+            self._ensure_slack(sampler.cfg.cold_cap)
         # NOTE: the sampler was constructed with the *shuffled* split index;
         # re-installing the sorted split here would re-create the
         # degree/VIP-correlated batches the shuffle exists to avoid.
@@ -443,6 +514,8 @@ class Trainer:
         acc = []  # device scalars; ONE D2H per split (a per-batch int()
         #           read is a ~100ms network round-trip on remote TPUs)
         for batch in feeder:
+            if self._gsrc_cold:
+                self._cold_update(batch)
             acc.append(self.eval_step(self.state, self.features, batch))
         pairs = jax.device_get(acc)
         correct = sum(int(c) for c, _ in pairs)
@@ -468,9 +541,9 @@ class Trainer:
             cap = sampler.cfg.cold_cap
             self.logger.log("EVAL_COLD_DROPPED", split,
                             it.stats.dropped_cold, "cold_cap", cap)
-            self.eval_cold_floor[key] = max(
+            self.eval_cold_floor[key] = min(self._cold_cap_max, max(
                 self.eval_cold_floor.get(key, 0),
-                int(-(-int(cap * 1.25) // 128) * 128))
+                int(-(-int(cap * 1.25) // 128) * 128)))
             self.logger.log("EVAL_COLD_CAP_GROWN", split,
                             self.eval_cold_floor[key])
         return correct / max(total, 1)

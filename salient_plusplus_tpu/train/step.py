@@ -76,11 +76,15 @@ def decode_batch(batch: PaddedBatch) -> PaddedBatch:
 def _x_and_extra(features, batch: PaddedBatch, global_msg0: bool):
     """Frontier features + model kwargs for one step.
 
-    With global_msg0 (single-host all-HBM path, batch carries gsrc), layer
-    0 aggregates straight from the HBM table, so only the level-(L-1)
+    With global_msg0 (single-host path, batch carries gsrc), layer 0
+    aggregates straight from the HBM table, so only the level-(L-1)
     prefix of the frontier is gathered — the level-L tail (~70% of the
-    frontier at [15,10,5]) is never materialized."""
-    if global_msg0 and batch.gsrc is not None and batch.cold_rows is None:
+    frontier at [15,10,5]) is never materialized. With a hot/cold split
+    the trainer has already written this batch's cold rows into the
+    table's slack region (Trainer._cold_update) and the sampler remapped
+    cold ids to slack slots, so the SAME single-gather path serves both
+    the prefix and the layer-0 messages — no overlay scatter at all."""
+    if global_msg0 and batch.gsrc is not None:
         L = batch.spec.num_hops
         pref_cap = batch.spec.node_caps[L - 1]  # n_id already prefix-only
         idx = jnp.minimum(batch.n_id[:pref_cap], features.shape[0] - 1)

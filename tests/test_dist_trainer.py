@@ -402,3 +402,58 @@ def test_distributed_cold_fp8():
     assert t8.x_cold.dtype == np.uint8 and t8.x_cold_scale is not None
     _, acc = run(False)
     assert acc8 > 0.8 * acc, (acc8, acc)
+
+
+def test_distributed_cold_fp8_owner_matches_replicated():
+    """cold_fp8 with cold_mode='owner' (round-3 review: the flag was
+    silently ignored there). Owner-served fp8 rows cross the pre-step
+    all_to_all as F+4-byte payloads (one fused collective) and must decode
+    to EXACTLY the replicated-mode fp8 tier's values — both tiers encode
+    the same rows with the same per-row scheme, so training is bit-equal."""
+    import jax
+
+    g = synthetic.planted_partition(
+        name="coldf8o", num_nodes=3000, num_classes=4, avg_degree=8,
+        num_features=16, seed=4)
+    from salient_plusplus_tpu.partition import contiguous_partition
+
+    labels = contiguous_partition(g.num_nodes, WORLD)
+
+    def run(mode):
+        cfg = RunConfig(
+            train_batch_size=64, train_fanouts=[4, 3],
+            batchwise_test_fanouts=[5, 5], final_test_fanouts=[5, 5],
+            hidden_features=16, num_layers=2, lr=0.01, num_workers=2,
+            calibration_batches=2, seed=6, hbm_fraction=0.5,
+            cold_mode=mode, cold_fp8=True, wire_fp8=False,
+        )
+        t = DistributedTrainer(cfg, g, labels, mesh=make_mesh(WORLD))
+        m = t.train_epoch(0)
+        assert m["overflow"] == 0
+        return t, m, t.evaluate("valid")
+
+    t_o, m_o, acc_o = run("owner")
+    t_r, m_r, acc_r = run("replicated")
+    # owner tails are pre-encoded once: uint8 payload + f32 scales
+    assert t_o.x_cold_own[0].dtype == np.uint8
+    assert t_o.x_cold_own_scale is not None
+    # the cold wire receipt reflects the fp8 row format (F+4 row + 4B id)
+    F = int(t_o.features.shape[1])
+    assert m_o["cold_wire_bytes"] == (
+        m_o["iters"] * WORLD * t_o.cold_r_cap * (F + 4 + 4))
+    for a, b in zip(
+            jax.tree_util.tree_leaves(
+                jax.tree_util.tree_map(np.asarray, t_o.state.params)),
+            jax.tree_util.tree_leaves(
+                jax.tree_util.tree_map(np.asarray, t_r.state.params))):
+        np.testing.assert_array_equal(a, b)
+    assert acc_o == acc_r
+
+
+def test_cold_fp8_without_cold_tier_rejected():
+    """cold_fp8 with hbm_fraction=1 has nothing to encode — fail fast at
+    config construction (round-3 review: no silently-ignored combos)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="cold_fp8"):
+        RunConfig(cold_fp8=True, hbm_fraction=1.0)
