@@ -101,6 +101,11 @@ def main():
     # features HBM-resident (the default single-chip configuration).
     hbm_fraction = float(os.environ.get("BENCH_HBM_FRACTION", 1.0))
     cold_fp8 = os.environ.get("BENCH_COLD_FP8", "0") == "1"
+    # device cold-row cache slots (0 = off). Accepts an absolute slot
+    # count or a fraction of the cold tail (e.g. "0.5").
+    cc_env = float(os.environ.get("BENCH_COLD_CACHE", 0))
+    cold_cache_slots = (int(cc_env * num_nodes * (1 - hbm_fraction))
+                        if 0 < cc_env < 1 else int(cc_env))
 
     g = synthetic.powerlaw_graph(
         name="bench-products", num_nodes=num_nodes, avg_degree=15,
@@ -137,6 +142,7 @@ def main():
                                         RunConfig.spec_buckets)),
         hbm_fraction=hbm_fraction,
         cold_fp8=cold_fp8,
+        cold_cache_slots=cold_cache_slots,
     )
     trainer = Trainer(cfg, g)
 
@@ -167,6 +173,7 @@ def main():
             jax.tree_util.tree_map(np.array, bufs.to_padded_batch()),
             trainer.device)
         # the step donates the state buffers — keep the returned state
+        warm = trainer._pre_step(warm)
         trainer.state, wloss = trainer.train_step(
             trainer.state, trainer.features, warm)
         jax.block_until_ready(wloss)
@@ -188,6 +195,7 @@ def main():
                 windows.append((feeder.edges_fed - e_mark) / (now - t0))
             t0 = now
             e_mark = feeder.edges_fed
+        batch = trainer._pre_step(batch)
         trainer.state, loss = trainer.train_step(
             trainer.state, trainer.features, batch)
         sync_q.append(loss)
@@ -222,24 +230,37 @@ def main():
     # The model is gather-only (MXU segment kernels add ~2 ns/edge on top),
     # so roofline_edges_per_s is an UPPER bound and roofline_frac =
     # value / roofline is a conservative fraction-of-light.
+    # Per-arch row models (rows = unsorted gathers + scatter-equivalents
+    # per step at CAPACITY shapes). Exact for the SAGE aggregation
+    # structure (SAGE/SAGEClassic/GIN/SAGEResInception/JKNet — gathers
+    # dominate; GIN/JKNet add dense/BN row-ops on top, so their ceiling is
+    # slightly optimistic). GAT is approximate: per layer it pays the fwd
+    # message gather (E), the attention-logit gathers (~E, thin rows cost
+    # a full tile read like wide ones), the bwd d_out gather (E), and the
+    # d_x scatter-add over unsorted src (~E at XLA's ~8.6 ns/edge —
+    # counted as one row-op).
     def gather_rows(s):
         L = s.num_hops
         inner = sum(s.edge_caps[: L - 1])
+        total_e = sum(s.edge_caps)
+        if model_name == "GAT":
+            return s.total_node_cap + 4 * total_e
         if trainer.global_msg0:
             return s.node_caps[L - 1] + s.edge_caps[L - 1] + 2 * inner
-        return s.total_node_cap + sum(s.edge_caps) + inner
+        return s.total_node_cap + total_e + inner
 
+    ROOFLINE_MODELS = {"SAGE": "exact", "SAGEClassic": "exact",
+                       "GIN": "exact", "SAGEResInception": "exact",
+                       "JKNet": "exact", "GAT": "approx"}
     rows_step = gather_rows(spec)
     if trainer.train_tight is not None:
         rows_step = (tight_frac * gather_rows(trainer.train_tight)
                      + (1 - tight_frac) * rows_step)
     gather_ns, gather_src = _measure_gather_ns(jax, trainer.features)
     t_floor = rows_step * gather_ns * 1e-9
-    # the row-count model above is SAGE's aggregation structure; other
-    # archs (BENCH_MODEL) gather extra rows (e.g. GAT dst rows per edge),
-    # so the ceiling claim is only made for the flagship
-    roofline_eps = edges_per_batch / t_floor if model_name == "SAGE" \
-        else None
+    roofline_kind = ROOFLINE_MODELS.get(model_name)
+    roofline_eps = (edges_per_batch / t_floor
+                    if roofline_kind is not None else None)
     # H2D demand vs the tunnel's measured sustained credit (~160 MB/s,
     # PERF_NOTES.md): a window whose byte-rate exceeds the credit measures
     # the tunnel, not the chip — the tunnel-vs-chip distinction, in-JSON.
@@ -282,6 +303,9 @@ def main():
             if roofline_eps is not None else None,
         "gather_ns_per_row": round(gather_ns, 2),
         "gather_ns_source": gather_src,
+        # "exact": the row model IS this arch's aggregation structure;
+        # "approx": documented estimate (see gather_rows comment)
+        "roofline_kind": roofline_kind,
         "gather_rows_per_step": int(rows_step),
         # tunnel-vs-chip: windows needing more H2D MB/s than the remote
         # tunnel's sustained credit (~160 MB/s measured, PERF_NOTES.md)
@@ -299,12 +323,27 @@ def main():
         # the static cold_cap — padded rows ship too)
         "cold_rows_per_batch": round(
             it.stats.cold_rows / n_batches, 1),
-        "cold_bytes_share": round(
+        # static cold-buffer share of the H2D wire; None with the cache on
+        # (shipped miss buffers are bucketed — bytes_per_batch is the
+        # measured truth there)
+        "cold_bytes_share": (round(
             trainer.train_sampler.cfg.cold_cap
             * ((trainer.features.shape[1] + 4) if cold_fp8
                else 2 * trainer.features.shape[1])
-            / max(bytes_per_batch, 1), 4),
+            / max(bytes_per_batch, 1), 4)
+            if trainer._cold_cache is None else None),
         "cold_fp8": cold_fp8,
+        # device cold-row cache (cross-batch dedup): with slots > 0,
+        # cold_rows_per_batch above counts only MISS rows (the shipped
+        # residual); hit rows were already HBM-resident. The honest HBM
+        # accounting is hbm_table_rows — hot prefix + cache slack.
+        "cold_cache_slots": (trainer._cold_cache.slots
+                             if trainer._cold_cache is not None else 0),
+        "cold_cache_hit_rate": (round(
+            trainer._cold_cache.hits
+            / max(trainer._cold_cache.hits + trainer._cold_cache.misses, 1),
+            4) if trainer._cold_cache is not None else None),
+        "hbm_table_rows": int(trainer.features.shape[0]),
         "pad_waste_nodes": round(it.stats.node_waste(spec.total_node_cap), 4),
         "pad_waste_edges": round(it.stats.edge_waste(sum(spec.edge_caps)), 4),
         "tight_frac": round(tight_frac, 4),

@@ -125,6 +125,13 @@ class RunConfig:
     # the validation curves match bf16 within seed-to-seed noise
     # (max gap 0.0039 vs noise 0.0135). WIRE_BYTES logs the receipt.
     wire_fp8: bool = True
+    # device cold-row cache (>HBM tier, gsrc models): number of feature-
+    # table slack rows kept as a persistent cache of cold rows. Only MISS
+    # rows then ride H2D per batch (cross-batch dedup — round-3 review
+    # item #1: consecutive batches re-fetch overlapping cold rows). 0
+    # disables (per-batch slack, no reuse). Requires the FastSampler
+    # train path (slot assignment runs at consumption time).
+    cold_cache_slots: int = 0
     # fp8 (e4m3) host cold tier: the >HBM tail is pre-encoded once on the
     # host (uint8 payload + per-row f32 scale) and decoded on device —
     # ~1.94x fewer H2D bytes for the dominant >HBM payload (measured 88%
@@ -173,6 +180,21 @@ class RunConfig:
                 "cold_fp8=True has no effect with hbm_fraction=1.0 "
                 "(no host cold tier exists to encode) — set "
                 "hbm_fraction<1 or drop cold_fp8")
+        if self.cold_cache_slots > 0:
+            if self.hbm_fraction >= 1.0:
+                raise ValueError(
+                    "cold_cache_slots>0 needs a cold tier "
+                    "(hbm_fraction<1)")
+            if self.train_sampler != "FastSampler":
+                raise ValueError(
+                    "cold_cache_slots>0 requires train_sampler="
+                    "FastSampler (cache slot assignment runs in the "
+                    "streaming consumer; the presampled/oracle paths "
+                    "have no ordered consumption hook)")
+            if self.gsrc_mode == "off":
+                raise ValueError(
+                    "cold_cache_slots>0 requires gsrc_mode=auto (the "
+                    "cache lives in the gsrc slack region)")
 
     @property
     def effective_patience(self) -> int:

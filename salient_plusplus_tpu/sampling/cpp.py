@@ -279,6 +279,9 @@ class BatchBuffers:
         tight-bucket warm-up passes the BIG spec's caps)."""
         if cfg.cold_owner_mode:
             self.attach_cold_requests(cfg.cold_world, cfg.cold_r_cap)
+        elif cfg.cold_cache is not None:
+            pass  # cache mode: per-batch miss arrays attached by the
+            #       consumer (finalize_cached) — workers ship nothing cold
         elif cfg.hot_cutoff is not None or cfg.cold_part_size is not None:
             self.attach_cold(cfg.cold_cap, cfg.x_cold.shape[1],
                              cfg.x_cold.dtype,
@@ -290,9 +293,12 @@ class BatchBuffers:
         if cfg.pack_wire:
             # gsrc+cold encodes cold ids as hot_cutoff + slot, so the
             # shipped id space can exceed num_nodes by up to the cold cap
+            # (cache mode: the slot space plus its zero row)
             idspace = num_nodes
             if cfg.emit_gsrc and cfg.hot_cutoff is not None:
-                idspace = max(num_nodes, cfg.hot_cutoff + cfg.cold_cap)
+                slots = (cfg.cold_cache.slots + 1
+                         if cfg.cold_cache is not None else cfg.cold_cap)
+                idspace = max(num_nodes, cfg.hot_cutoff + slots)
             self.attach_pack(
                 pack_src_maxval(cfg.spec, cfg.emit_gsrc, idspace),
                 node_caps=pack_node_caps, num_nodes=idspace)
@@ -304,6 +310,13 @@ class BatchBuffers:
         (which must see the rewritten srcs). Returns the number of dropped
         (over-cold-budget) rows, which callers must surface in stats."""
         dropped = 0
+        if cfg.cold_cache is not None:
+            # device cold-row cache: slot assignment must run serially in
+            # batch CONSUMPTION order (eviction safety), so everything
+            # after ddeg is deferred to the consumer (finalize_cached)
+            if cfg.compress_dst:
+                self.fill_ddeg()
+            return 0
         if cfg.cold_owner_mode:
             dropped = self.fill_cold_requests(cfg.cold_part_size,
                                               cfg.cold_hot_size)
@@ -323,6 +336,50 @@ class BatchBuffers:
                            if (cfg.hot_cutoff is not None
                                and cfg.cold_part_size is None
                                and not cfg.cold_owner_mode) else None)
+        if cfg.pack_wire:
+            self.fill_pack()
+        return dropped
+
+    def finalize_cached(self, cfg) -> int:
+        """Consumer-side finalize for the device cold-row cache
+        (cfg.cold_cache set; see sampling/cold_cache.py). Runs serially in
+        batch-consumption order: assign cache slots for this batch's cold
+        frontier ids, gather ONLY the miss rows (bucketed static shape —
+        the cross-batch dedup that cuts the >HBM H2D wire), remap cold
+        ids in n_id to ``hot_cutoff + slot``, then the gsrc src rewrite
+        and wire-packing (both read the remapped n_id). Returns the
+        dropped-row count (no slot / over the per-batch miss budget);
+        dropped ids point at the permanent zero row ``hot_cutoff+slots``."""
+        from .cold_cache import miss_rung
+
+        H = cfg.hot_cutoff
+        cache = cfg.cold_cache
+        n = int(self.level_sizes[-1])
+        pos_all = np.flatnonzero(self.n_id[:n] >= H)
+        ids = self.n_id[pos_all].astype(np.int64) - H
+        slot, miss = cache.assign(ids, max_new=cfg.cold_cap)
+        dropped = int((slot < 0).sum())
+        self.n_id[pos_all] = (
+            H + np.where(slot >= 0, slot, cache.slots)).astype(np.int32)
+        m = np.flatnonzero(miss)
+        cnt = len(m)
+        rung = miss_rung(cnt, cfg.cold_cap)
+        F = cfg.x_cold.shape[1]
+        self.cold_rows = np.zeros((rung, F), cfg.x_cold.dtype)
+        # pad positions are far past any table row → scatter-dropped
+        self.cold_pos = np.full(rung, 2**30, np.int32)
+        if cnt:
+            gather_rows(cfg.x_cold, ids[m], out=self.cold_rows[:cnt])
+            self.cold_pos[:cnt] = H + slot[m]
+        if cfg.x_cold_scale is not None:
+            self.cold_scale = np.zeros(rung, np.float32)
+            if cnt:
+                self.cold_scale[:cnt] = cfg.x_cold_scale[ids[m]]
+        else:
+            self.cold_scale = None
+        self.cold_count = np.int32(cnt)
+        if cfg.emit_gsrc:
+            self.fill_gsrc(None)  # n_id already slot-remapped: plain take
         if cfg.pack_wire:
             self.fill_pack()
         return dropped

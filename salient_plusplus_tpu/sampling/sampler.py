@@ -111,6 +111,12 @@ class FastSamplerConfig:
     # sizes instead of hot_cutoff; x_cold = concat of all cold tails)
     cold_part_size: Optional[int] = None
     cold_hot_size: Optional[int] = None
+    # device cold-row cache (sampling/cold_cache.py): a shared
+    # HostColdCache managing the feature table's slack region; cold
+    # classification then runs at CONSUMPTION time (slot-eviction safety)
+    # and only miss rows ride H2D. cold_cap doubles as the per-batch miss
+    # budget / top miss-bucket size.
+    cold_cache: Optional[object] = None
     # owner-served cold tier: classify cold rows into per-owner request
     # slots instead of gathering from a host-replicated tail (rows are
     # fetched via the pre-step cold all_to_all, train/dist_loop.py)
@@ -228,6 +234,11 @@ class FastSamplerIter:
         if isinstance(bufs, BaseException):
             self.close()
             raise bufs
+        cfg = self.sampler.cfg
+        if cfg.cold_cache is not None:
+            # serial, in consumption order — the cache's eviction-safety
+            # contract (sampling/cold_cache.py)
+            self.stats.dropped_cold += bufs.finalize_cached(cfg)
         self._next_expected += 1
         self.stats.batches += 1
         self.stats.dropped_nodes += int(bufs.overflow[0])

@@ -195,7 +195,24 @@ class Trainer:
                             cfg.model_name in ("SAGE", "SAGEClassic", "GIN"))
         self._gsrc_cold = self.global_msg0 and self.hot_cutoff is not None
         self._cold_update_fn = None
+        self._cache_update_fn = None
         self._slack = 0
+        # persistent device cold-row cache in the slack region: only MISS
+        # rows ride H2D per batch (round-3 review item #1 — cross-batch
+        # dedup of the >HBM wire); +1 slack row = the permanent zero row
+        # dropped ids point at
+        self._cold_cache = None
+        if cfg.cold_cache_slots > 0:
+            if not self._gsrc_cold:
+                raise ValueError(
+                    "cold_cache_slots>0 requires a gsrc-capable model "
+                    "(SAGE/SAGEClassic/GIN) — the cache lives in the "
+                    "gsrc slack region")
+            from ..sampling.cold_cache import HostColdCache
+
+            self._cold_cache = HostColdCache(
+                V - self.hot_cutoff,
+                max(cfg.cold_cache_slots, cold_cap))
         # ship uint8 per-target degrees instead of int32 dst (wire cut)
         self.compress_dst = all(0 < f <= 127 for f in cfg.train_fanouts)
         # wire-pack int32 index arrays (2-3 bytes/elem); with gsrc the
@@ -213,7 +230,8 @@ class Trainer:
                 max_batches_in_flight=cfg.max_batches_in_flight,
                 hot_cutoff=self.hot_cutoff, x_cold=self.x_cold,
                 x_cold_scale=self.x_cold_scale,
-                cold_cap=cold_cap, emit_gsrc=self.global_msg0,
+                cold_cap=cold_cap, cold_cache=self._cold_cache,
+                emit_gsrc=self.global_msg0,
                 compress_dst=self.compress_dst,
                 pack_wire=self.pack_wire,
                 tight_spec=self.train_tight))
@@ -223,7 +241,9 @@ class Trainer:
         hot = x_np if self.hot_cutoff is None else x_np[: self.hot_cutoff]
         self.features = jax.device_put(
             jnp.asarray(hot, jnp.bfloat16), self.device)
-        if self._gsrc_cold:
+        if self._cold_cache is not None:
+            self._ensure_slack(self._cold_cache.slots + 1)
+        elif self._gsrc_cold:
             self._ensure_slack(self.train_sampler.cfg.cold_cap)
 
         self.model = make_model(
@@ -286,6 +306,38 @@ class Trainer:
         self.features = self._cold_update_fn(
             self.features, batch.cold_rows, batch.cold_scale)
 
+    def _cache_update(self, batch):
+        """Cache mode: scatter this batch's MISS rows into their assigned
+        slack slots (donated, in-place; pad positions self-drop), then
+        strip the cold fields so the train/eval step sees ONE stable
+        treedef across miss-bucket sizes (the updater recompiles per
+        rung — a tiny program — the big step program never does)."""
+        if self._cache_update_fn is None:
+            def upd(f, rows, scale, pos):
+                if scale is not None:
+                    from ..parallel.exchange import fp8_decode_rows
+
+                    rows = fp8_decode_rows(rows, scale, f.dtype)
+                return f.at[pos].set(rows.astype(f.dtype), mode="drop")
+
+            self._cache_update_fn = jax.jit(upd, donate_argnums=(0,))
+        self.features = self._cache_update_fn(
+            self.features, batch.cold_rows, batch.cold_scale,
+            batch.cold_pos)
+        return batch.replace(cold_rows=None, cold_pos=None,
+                             cold_scale=None, cold_count=None)
+
+    def _pre_step(self, batch):
+        """Per-batch cold-tier device work, dispatched before the step.
+        No-op for batches without cold payloads (all-HBM, warmup)."""
+        if batch.cold_rows is None:
+            return batch
+        if self._cold_cache is not None:
+            return self._cache_update(batch)
+        if self._gsrc_cold:
+            self._cold_update(batch)
+        return batch
+
     def reset(self, trial_seed: int = 0):
         """Fresh params + optimizer (per-trial reset,
         driver/drivers/base.py:258-263)."""
@@ -331,8 +383,7 @@ class Trainer:
                         seed_count=batch.seed_count,
                         edge_counts=[e.count for e in batch.edges])
                 bno += 1
-                if self._gsrc_cold:
-                    self._cold_update(batch)
+                batch = self._pre_step(batch)
                 self.state, loss = self.train_step(
                     self.state, self.features, batch)
                 losses.append(loss)
@@ -364,9 +415,21 @@ class Trainer:
                             scfg.cold_cap)
             scfg.cold_cap = self._clamped_cold_growth(
                 scfg.cold_cap, self.graph.split_idx["train"])
-            if self._gsrc_cold:
+            if self._cold_cache is not None:
+                # drops can come from slot exhaustion too — grow the slot
+                # space alongside the per-batch miss budget
+                self._cold_cache.grow(
+                    max(int(self._cold_cache.slots * 1.25), scfg.cold_cap))
+                self._ensure_slack(self._cold_cache.slots + 1)
+            elif self._gsrc_cold:
                 self._ensure_slack(scfg.cold_cap)
             self.logger.log("COLD_CAP_GROWN", scfg.cold_cap)
+        if self._cold_cache is not None:
+            h, mi, dr = self._cold_cache.reset_epoch_stats()
+            self.logger.log(
+                "COLD_CACHE", epoch, "hits", h, "misses", mi,
+                "dropped", dr, "slots", self._cold_cache.slots,
+                "hit_rate", round(h / max(h + mi, 1), 4))
         # one batched D2H (device_get overlaps the copies; per-item float()
         # would cost a network round-trip each on remotely-attached TPUs)
         mean_loss = float(np.mean(jax.device_get(losses)))
@@ -394,8 +457,7 @@ class Trainer:
                 batch = jax.device_put(
                     jax.tree_util.tree_map(np.array, bufs.to_padded_batch()),
                     self.device)
-                if self._gsrc_cold:
-                    self._cold_update(batch)
+                batch = self._pre_step(batch)
                 self.state, loss = self.train_step(
                     self.state, self.features, batch)
                 losses.append(loss)
@@ -492,7 +554,8 @@ class Trainer:
                 max_batches_in_flight=cfg.max_batches_in_flight,
                 hot_cutoff=self.hot_cutoff, x_cold=self.x_cold,
                 x_cold_scale=self.x_cold_scale,
-                cold_cap=cold_cap, emit_gsrc=self.global_msg0,
+                cold_cap=cold_cap, cold_cache=self._cold_cache,
+                emit_gsrc=self.global_msg0,
                 compress_dst=all(0 < f <= 127 for f in fanouts),
                 pack_wire=(self.pack_wire
                            and spec.total_node_cap < 2**24),
@@ -502,7 +565,9 @@ class Trainer:
     def evaluate(self, split: str) -> float:
         """Batchwise accuracy on a split (base.py:440-525 analog)."""
         sampler = self._eval_sampler(split)
-        if self._gsrc_cold:
+        if self._cold_cache is not None:
+            self._ensure_slack(self._cold_cache.slots + 1)
+        elif self._gsrc_cold:
             # eval specs have larger frontiers → possibly a larger cold
             # budget than the train slack
             self._ensure_slack(sampler.cfg.cold_cap)
@@ -514,8 +579,7 @@ class Trainer:
         acc = []  # device scalars; ONE D2H per split (a per-batch int()
         #           read is a ~100ms network round-trip on remote TPUs)
         for batch in feeder:
-            if self._gsrc_cold:
-                self._cold_update(batch)
+            batch = self._pre_step(batch)
             acc.append(self.eval_step(self.state, self.features, batch))
         pairs = jax.device_get(acc)
         correct = sum(int(c) for c, _ in pairs)
@@ -544,6 +608,11 @@ class Trainer:
             self.eval_cold_floor[key] = min(self._cold_cap_max, max(
                 self.eval_cold_floor.get(key, 0),
                 int(-(-int(cap * 1.25) // 128) * 128)))
+            if self._cold_cache is not None:
+                self._cold_cache.grow(
+                    max(int(self._cold_cache.slots * 1.25),
+                        self.eval_cold_floor[key]))
+                self._ensure_slack(self._cold_cache.slots + 1)
             self.logger.log("EVAL_COLD_CAP_GROWN", split,
                             self.eval_cold_floor[key])
         return correct / max(total, 1)
