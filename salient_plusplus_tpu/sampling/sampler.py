@@ -146,6 +146,10 @@ class FastSamplerIter:
     returns the buffer set to the pool and unblocks a worker.
     """
 
+    # consumer-side stall fail-fast (see __next__); generous — the longest
+    # legitimate inter-batch wait is one host-contended sample (~seconds)
+    STALL_TIMEOUT_S = 600.0
+
     def __init__(self, sampler: "FastSampler", epoch: int):
         self.sampler = sampler
         cfg = sampler.cfg
@@ -181,12 +185,24 @@ class FastSamplerIter:
     def _worker(self):
         cfg = self.sampler.cfg
         while not self._shutdown.is_set():
+            # Acquire the buffer BEFORE claiming a batch number. The
+            # reverse order deadlocks under CPU contention: a worker that
+            # owns batch k but holds no buffer can be starved while its
+            # peers leapfrog through k+1.. with every free buffer — those
+            # results park in the reorder map (unusable before k) and the
+            # consumer's feeder, blocked inside its top-up, never recycles
+            # its in-flight buffers. Owning a buffer first guarantees the
+            # holder of the consumer's next-expected batch can always
+            # produce it. (Found via faulthandler on a 3x-oversubscribed
+            # suite run; the reference's pool has the same claim order but
+            # its consumer recycles per-batch, hiding the window.)
+            bufs = self._free.get()
+            if bufs is None or self._shutdown.is_set():
+                return
             try:
                 bno = self._work.get_nowait()
             except queue.Empty:
-                return
-            bufs = self._free.get()
-            if bufs is None or self._shutdown.is_set():
+                self._free.put(bufs)  # keep the pool at full capacity
                 return
             t0 = time.perf_counter()
             try:
@@ -222,7 +238,22 @@ class FastSamplerIter:
         t0 = time.perf_counter()
         blocked = False
         while self._next_expected not in self._reorder:
-            bno, bufs = self._out.get()
+            try:
+                bno, bufs = self._out.get(timeout=self.STALL_TIMEOUT_S)
+            except queue.Empty:
+                # fail fast, never hang (the framework contract —
+                # tests/test_failfast.py): a batch this overdue means a
+                # worker died or the pool ran dry; surface queue state
+                # instead of blocking the trainer forever
+                state = (f"batch {self._next_expected}/{self.num_batches} "
+                         f"never arrived after {self.STALL_TIMEOUT_S}s: "
+                         f"reorder={sorted(self._reorder)[:8]} "
+                         f"free={self._free.qsize()} "
+                         f"work={self._work.qsize()} "
+                         f"workers_alive="
+                         f"{sum(t.is_alive() for t in self._threads)}")
+                self.close()
+                raise RuntimeError(f"sampler stalled: {state}")
             blocked = True
             self._reorder[bno] = bufs
         if blocked:

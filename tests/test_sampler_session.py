@@ -161,3 +161,101 @@ def test_compressed_dst_decodes_exactly(small_graph):
         assert e_comp.ddeg.dtype == np.uint8
         dec = jax.device_put(e_comp).decoded(e_comp.src.shape[0])
         np.testing.assert_array_equal(np.asarray(dec.dst), e_ref.dst)
+
+
+class _JitterNative:
+    """Delegating wrapper whose sample_into sleeps a pseudo-random beat —
+    forces worker leapfrog (one worker stalls mid-claim while its peers
+    race ahead through the free-buffer pool)."""
+
+    def __init__(self, inner, seed=0):
+        self._inner = inner
+        self._rng = np.random.default_rng(seed)
+        self._lock = __import__("threading").Lock()
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+    def sample_into(self, *a, **kw):
+        import time
+        with self._lock:
+            dt = float(self._rng.uniform(0, 0.02))
+        time.sleep(dt)
+        return self._inner.sample_into(*a, **kw)
+
+
+def test_pool_starved_liveness(small_graph):
+    """Regression: worker claim-order deadlock under contention.
+
+    Workers must acquire a buffer BEFORE claiming a batch number —
+    the reverse order let peers leapfrog the claimant of the consumer's
+    next-expected batch through every free buffer, parking results in the
+    reorder map while a feeder-like consumer (holds `depth` buffers,
+    recycles only on pop) starves the claimant forever. Found via
+    faulthandler on an oversubscribed full-suite run. This stress drives
+    the smallest legal pool (max_batches_in_flight=1 + 4 workers) with
+    jittered sample times and a depth-2 holding consumer for several
+    epochs; with the old claim order it deadlocks (caught by the
+    consumer's stall fail-fast), with the fix it completes."""
+    import collections
+
+    g = small_graph
+    spec = BatchSpec.worst_case(32, [4, 3])
+    cfg = FastSamplerConfig(spec=spec, batch_size=32, base_seed=1,
+                            num_workers=4, max_batches_in_flight=1)
+    s = FastSampler(g.rowptr, g.col, g.y, cfg)
+    s.native = _JitterNative(s.native, seed=7)
+    idx = g.split_idx["train"][:640]  # 20 batches/epoch
+    for epoch in range(3):
+        s.set_epoch(idx, epoch)
+        it = iter(s)
+        it.STALL_TIMEOUT_S = 60.0  # fail fast if the deadlock regresses
+        held = collections.deque()
+        n = 0
+        for bufs in it:
+            held.append(bufs)
+            if len(held) >= 2:  # feeder-like: recycle only on "pop"
+                it.recycle(held.popleft())
+            n += 1
+        while held:
+            it.recycle(held.popleft())
+        assert n == 20
+
+
+def test_consumer_stall_failfast(small_graph):
+    """A batch that never arrives must raise (with queue-state
+    diagnostics), not hang the trainer — the framework's fail-fast
+    contract (cf. tests/test_failfast.py for the distributed analog)."""
+    import threading
+
+    import pytest
+
+    g = small_graph
+    spec = BatchSpec.worst_case(32, [4, 3])
+    cfg = FastSamplerConfig(spec=spec, batch_size=32, base_seed=1,
+                            num_workers=1, max_batches_in_flight=2)
+    s = FastSampler(g.rowptr, g.col, g.y, cfg)
+    gate = threading.Event()
+    inner = s.native
+
+    class _Blocking:
+        def __getattr__(self, name):
+            return getattr(inner, name)
+
+        def sample_into(self, bufs, seeds, *a, **kw):
+            if not gate.is_set() and getattr(self, "_n", 0) >= 1:
+                gate.wait(30)  # simulate a wedged worker
+            self._n = getattr(self, "_n", 0) + 1
+            return inner.sample_into(bufs, seeds, *a, **kw)
+
+    blocker = _Blocking()
+    s.native = blocker
+    s.set_epoch(g.split_idx["train"][:96], 0)  # 3 batches
+    it = iter(s)
+    it.STALL_TIMEOUT_S = 1.0
+    got = next(it)  # batch 0 flows
+    it.recycle(got)
+    with pytest.raises(RuntimeError, match="sampler stalled"):
+        while True:
+            it.recycle(next(it))
+    gate.set()  # release the wedged worker thread
