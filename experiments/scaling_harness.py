@@ -1,0 +1,174 @@
+"""Host-overhead scaling harness: 1-process vs 2-process CPU mesh.
+
+Round-3 review item #7: the ≥80% 1→2-host scaling north star
+(BASELINE.json) is addressed analytically (docs/COMM_BUDGET.md — ICI
+share <10%) and correctness-wise (the 2-process cluster test), but no
+artifact isolated the HOST-SIDE orchestration overheads that would eat
+scaling on a real pod: per-step psum bucket agreement, batch assembly +
+H2D dispatch, owner-served cold gather, sampler wait.
+
+This harness runs the SAME total work (same graph, same global batch,
+same iteration count, 8 mesh devices) as (a) one process owning all 8
+virtual devices and (b) two jax.distributed processes owning 4 each, and
+reports each host-side stage's per-epoch time from the trainer's
+RuntimeStats. The difference between (b) and (a) is the marginal
+orchestration cost of crossing a process boundary — the closest
+measurable proxy for multi-host overhead this single-machine environment
+allows (the CPU "device" compute itself shares the same cores, so
+absolute epoch time is NOT the signal; stage shares and deltas are).
+
+Usage:
+    python -m experiments.scaling_harness --out docs/scaling_harness.json
+    python -m experiments.scaling_harness --worker <coord> <pid> <n> <out>
+        (internal: spawned subprocess mode)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import time
+
+EPOCHS = 3  # epoch 0 is compile-polluted; stats skip it
+
+HOST_STAGES = ("sample_wait", "assemble_h2d", "cold_serve", "bucket_psum")
+
+
+def _build_trainer():
+    import numpy as np  # noqa: F401
+
+    from salient_plusplus_tpu.config import RunConfig
+    from salient_plusplus_tpu.data import synthetic
+    from salient_plusplus_tpu.parallel import make_mesh
+    from salient_plusplus_tpu.partition import contiguous_partition
+    from salient_plusplus_tpu.train.dist_loop import DistributedTrainer
+
+    g = synthetic.planted_partition(
+        name="scalh", num_nodes=8192, num_classes=8, avg_degree=10,
+        num_features=32, seed=17)
+    labels = contiguous_partition(g.num_nodes, 8)
+    cfg = RunConfig(
+        train_batch_size=64, train_fanouts=[5, 4],
+        batchwise_test_fanouts=[6, 6], final_test_fanouts=[6, 6],
+        hidden_features=32, num_layers=2, lr=0.01, num_workers=1,
+        calibration_batches=3, seed=5, hbm_fraction=0.75,
+        cold_mode="owner", load_balance_scheme="federated",
+    )
+    return DistributedTrainer(cfg, g, labels, mesh=make_mesh(8))
+
+
+def _measure():
+    t = _build_trainer()
+    wall = []
+    losses = []
+    for e in range(EPOCHS):
+        t0 = time.perf_counter()
+        m = t.train_epoch(e)
+        wall.append(time.perf_counter() - t0)
+        losses.append(m["loss"])
+    # skip epoch 0 (compile); average the rest
+    rows = t.stats.epoch_region_totals[1:]
+    n = max(len(rows), 1)
+    stages = {k: sum(r.get(k, 0.0) for r in rows) / n for k in HOST_STAGES}
+    mean_wall = sum(wall[1:]) / max(len(wall) - 1, 1)
+    host = sum(stages.values())
+    return {
+        "epoch_wall_s": round(mean_wall, 4),
+        "stages_s": {k: round(v, 4) for k, v in stages.items()},
+        "host_orchestration_s": round(host, 4),
+        "host_share": round(host / max(mean_wall, 1e-9), 4),
+        "iters": m["iters"],
+        "loss_final": losses[-1],
+    }
+
+
+def _run_worker(coord, pid, nprocs, out_path):
+    import jax
+
+    jax.distributed.initialize(coordinator_address=coord,
+                               num_processes=int(nprocs),
+                               process_id=int(pid))
+    res = _measure()
+    if int(pid) == 0:
+        res["process_count"] = jax.process_count()
+        with open(out_path, "w") as f:
+            json.dump(res, f)
+
+
+def _spawn_two_proc(tmp_out):
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+        "PALLAS_AXON_POOL_IPS": "",
+        "PYTHONPATH": os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))),
+    })
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--worker",
+             f"127.0.0.1:{port}", str(pid), "2", tmp_out],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in range(2)
+    ]
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        if p.returncode != 0:
+            raise RuntimeError(out.decode(errors="replace")[-3000:])
+    with open(tmp_out) as f:
+        return json.load(f)
+
+
+def main():
+    if "--worker" in sys.argv:
+        i = sys.argv.index("--worker")
+        _run_worker(*sys.argv[i + 1:i + 5])
+        return
+    out_path = "docs/scaling_harness.json"
+    if "--out" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+
+    # single-process leg runs in THIS process on an 8-device CPU mesh
+    os.environ.setdefault("PALLAS_AXON_POOL_IPS", "")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+    one = _measure()
+    one["process_count"] = 1
+
+    two = _spawn_two_proc(out_path + ".mp.tmp")
+    os.unlink(out_path + ".mp.tmp")
+
+    # marginal host-side orchestration cost of the process boundary
+    delta = {k: round(two["stages_s"].get(k, 0.0)
+                      - one["stages_s"].get(k, 0.0), 4)
+             for k in HOST_STAGES}
+    result = {
+        "one_process": one,
+        "two_process": two,
+        "marginal_stage_s": delta,
+        "marginal_host_s": round(two["host_orchestration_s"]
+                                 - one["host_orchestration_s"], 4),
+        "note": ("CPU-mesh proxy: device compute shares host cores, so "
+                 "epoch walls are not comparable to TPU; stage shares "
+                 "and the 1p->2p deltas are the signal. bucket_psum is "
+                 "the per-step cross-process agreement collective "
+                 "(zero in 1-proc by construction); assemble_h2d "
+                 "includes it."),
+    }
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()

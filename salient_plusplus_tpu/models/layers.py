@@ -75,17 +75,27 @@ class SAGEConv(nn.Module):
 
 
 class GATConv(nn.Module):
-    """Graph attention conv (PyG GATConv semantics, concat heads)."""
+    """Graph attention conv (PyG GATConv semantics, concat heads).
+
+    ``add_self_loops`` mirrors PyG's default: the reference's GATConv
+    receives the bipartite MFG as a SparseTensor and PyG's
+    add_self_loops path calls ``set_diag`` on it (gat_conv.py), so every
+    target ALSO attends to itself (input row i < T is target i under the
+    prefix convention). Round-3 review item #4 flagged exactly this class
+    of silent attention-normalization divergence."""
 
     features: int            # per-head output features
     heads: int = 1
     use_bias: bool = False
     negative_slope: float = 0.2
+    add_self_loops: bool = True
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, x_target, edge: EdgeBlock, out_cap: int):
+        from ..ops.segment import segment_softmax_self
+
         H, C = self.heads, self.features
         w_src = _dense(H * C, False, self.dtype, self.param_dtype, "lin_src")
         xs = w_src(x).reshape(-1, H, C)
@@ -98,10 +108,20 @@ class GATConv(nn.Module):
         alpha_dst = (xt * a_dst).sum(-1)            # [N_out, H]
         logits = alpha_src[edge.src] + alpha_dst[edge.dst]   # [E, H]
         logits = nn.leaky_relu(logits, self.negative_slope)
-        att = masked_segment_softmax(
-            logits.astype(jnp.float32), edge.dst, edge.count, out_cap,
-            sorted_dst=True,  # sampler layout → scan-based, scatter-free
-        ).astype(self.dtype)                        # [E, H]
+        if self.add_self_loops:
+            self_logit = nn.leaky_relu(alpha_src[:out_cap] + alpha_dst,
+                                       self.negative_slope)
+            att, self_att = segment_softmax_self(
+                logits.astype(jnp.float32), edge.dst, edge.count, out_cap,
+                self_logit.astype(jnp.float32),
+                sorted_dst=True)  # sampler layout → scan-based
+            att = att.astype(self.dtype)
+        else:
+            att = masked_segment_softmax(
+                logits.astype(jnp.float32), edge.dst, edge.count, out_cap,
+                sorted_dst=True,
+            ).astype(self.dtype)                    # [E, H]
+            self_att = None
         msg = xs[edge.src] * att[:, :, None]        # [E, H, C]
         if mxu_spmm_enabled():
             # scatter-free forward; dst is target-grouped with pads ==
@@ -114,6 +134,9 @@ class GATConv(nn.Module):
         else:
             out = masked_segment_sum(
                 msg.reshape(-1, H * C), edge.dst, edge.count, out_cap)
+        if self_att is not None:
+            out = out + (xt * self_att.astype(self.dtype)[:, :, None]
+                         ).reshape(-1, H * C)
         if self.use_bias:
             out = out + self.param("bias", nn.initializers.zeros,
                                    (H * C,), self.param_dtype).astype(self.dtype)

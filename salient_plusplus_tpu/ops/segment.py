@@ -178,6 +178,95 @@ def sorted_segment_softmax(logits: jnp.ndarray, dst: jnp.ndarray, count,
     return att if two_d else att[:, 0]
 
 
+def segment_softmax_self(logits: jnp.ndarray, dst: jnp.ndarray, count,
+                         num_segments: int, self_logit: jnp.ndarray,
+                         sorted_dst: bool = True):
+    """Per-target softmax over incoming edges PLUS one implicit self-loop
+    logit per target.
+
+    Reference-parity primitive: PyG's GATConv defaults to
+    ``add_self_loops=True``, which on the reference's bipartite MFG
+    SparseTensor calls ``set_diag`` — every target also attends to itself
+    (input row i < T IS target i under the prefix convention). The
+    reference instantiates GATConv with the default
+    (driver/models.py:197-204), so attention normalizes over sampled
+    edges + the self edge.
+
+    logits: [E, H]; self_logit: [T, H]. Returns (att [E, H], self_att
+    [T, H]) with padded edges → 0 and empty targets → self_att 1.
+    Numerically stable: per-edge weights renormalize against
+    max(segment max, self logit). Sorted path is scan-based (no
+    scatters); only [E]- and [T]-row gathers remain.
+    """
+    E = dst.shape[0]
+    mask = valid_mask(E, count)
+    m = mask[:, None]
+    neg = jnp.asarray(jnp.finfo(logits.dtype).min, logits.dtype)
+    lg = jnp.where(m, logits, neg)
+    safe_dst = jnp.where(mask, dst, num_segments)
+
+    if sorted_dst:
+        start_f = jnp.concatenate(
+            [jnp.ones(1, bool), dst[1:] != dst[:-1]])[:, None]
+        start_r = jnp.concatenate(
+            [(dst[:-1] != dst[1:]), jnp.ones(1, bool)])[:, None]
+
+        def seg_scan(vals, starts, combine_op, reverse):
+            def comb(a, b):
+                fa, va = a
+                fb, vb = b
+                return fa | fb, jnp.where(fb, vb, combine_op(va, vb))
+
+            _, out = jax.lax.associative_scan(
+                comb, (jnp.broadcast_to(starts, vals.shape), vals),
+                axis=0, reverse=reverse)
+            return out
+
+        seg_max = jnp.maximum(seg_scan(lg, start_f, jnp.maximum, False),
+                              seg_scan(lg, start_r, jnp.maximum, True))
+        seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, neg)
+        ex = jnp.where(m, jnp.exp(lg - jnp.where(jnp.isfinite(seg_max),
+                                                 seg_max, 0)), 0)
+        den = (seg_scan(ex, start_f, jnp.add, False)
+               + seg_scan(ex, start_r, jnp.add, True) - ex)
+        # per-target M/S via the first edge of each segment
+        rowptr = _segment_rowptr_sorted(dst, count, num_segments)
+        first = jnp.minimum(rowptr[:-1], E - 1)
+        has_edge = rowptr[1:] > rowptr[:-1]
+        M_t = jnp.take(seg_max, first, axis=0)
+        S_t = jnp.take(den, first, axis=0)
+    else:
+        seg_max_t = jax.ops.segment_max(lg, safe_dst,
+                                        num_segments=num_segments + 1)
+        has_edge = (jax.ops.segment_sum(
+            mask.astype(jnp.int32), safe_dst,
+            num_segments=num_segments + 1) > 0)[:num_segments]
+        M_full = jnp.where(jnp.isfinite(seg_max_t), seg_max_t, neg)
+        ex = jnp.where(
+            m, jnp.exp(lg - jnp.where(jnp.isfinite(seg_max_t), seg_max_t,
+                                      0)[safe_dst]), 0)
+        S_full = jax.ops.segment_sum(ex, safe_dst,
+                                     num_segments=num_segments + 1)
+        M_t, S_t = M_full[:num_segments], S_full[:num_segments]
+        seg_max = M_full[safe_dst]
+        den = S_full[safe_dst]
+    he = has_edge[:, None] if has_edge.ndim == 1 else has_edge
+    M_t = jnp.where(he, M_t, neg)
+    S_t = jnp.where(he, S_t, 0)
+    # per-target totals with the self term folded in
+    m_t = jnp.maximum(M_t, self_logit)
+    scale_t = jnp.where(he, jnp.exp(M_t - m_t), 0)
+    self_ex = jnp.exp(self_logit - m_t)
+    D_t = jnp.maximum(S_t * scale_t + self_ex,
+                      jnp.asarray(1e-16, lg.dtype))
+    self_att = self_ex / D_t
+    # per-edge attention rescaled to the self-inclusive normalizer
+    c_t = scale_t / D_t                       # [T, H]
+    c_pad = jnp.concatenate([c_t, jnp.zeros_like(c_t[:1])], axis=0)
+    att = ex * jnp.take(c_pad, safe_dst, axis=0)
+    return att, self_att
+
+
 def masked_segment_softmax(logits: jnp.ndarray, dst: jnp.ndarray, count,
                            num_segments: int,
                            sorted_dst: bool = False) -> jnp.ndarray:

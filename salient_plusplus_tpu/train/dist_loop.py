@@ -621,7 +621,7 @@ class DistributedTrainer:
         ex_accum = []  # device scalars; converted once at epoch end (a
         #                per-step D2H read is a network round-trip on
         #                remotely-attached TPUs)
-        sample_wait = assemble = cold_serve = 0.0
+        sample_wait = assemble = cold_serve = bucket_psum = 0.0
         tight_steps = 0
 
         def _assemble():
@@ -630,7 +630,7 @@ class DistributedTrainer:
             that consumes the rows, so the ids D2H + host gather in
             :meth:`_cold_serve` overlap the previous step's device
             compute (the reference's async-slicing overlap, N7)."""
-            nonlocal sample_wait, assemble, tight_steps
+            nonlocal sample_wait, assemble, tight_steps, bucket_psum
             t0 = time.perf_counter()
             bufs = [next(it) for it in its]
             t1 = time.perf_counter()
@@ -642,10 +642,12 @@ class DistributedTrainer:
             fit = (self.train_tight is not None
                    and all(b.bucket is not None for b in bufs))
             if self.train_tight is not None and jax.process_count() > 1:
+                tp = time.perf_counter()
                 unfit = int(self._allsum_host(np.asarray(
                     [[0 if fit else 1]] * len(self.local_ranks),
                     np.int64))[0])
                 fit = unfit == 0
+                bucket_psum += time.perf_counter() - tp
             bucket = self.train_tight if fit else None
             if fit:
                 tight_steps += 1
@@ -689,6 +691,9 @@ class DistributedTrainer:
         self.stats.add("sample_wait", sample_wait)
         self.stats.add("assemble_h2d", assemble)
         self.stats.add("cold_serve", cold_serve)
+        # cross-process bucket-agreement collective (scaling-harness probe:
+        # the per-step host-side orchestration cost multi-host adds)
+        self.stats.add("bucket_psum", bucket_psum)
         self.stats.end_epoch()
         if ex_accum:
             tot = jax.device_get(ex_accum)

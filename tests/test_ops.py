@@ -128,3 +128,52 @@ def test_sorted_segment_softmax_matches_scatter_version():
         np.add.at(sums, dst[:n_real], att[:n_real])
         nonempty = np.bincount(dst[:n_real], minlength=T)[:T] > 0
         np.testing.assert_allclose(sums[nonempty], 1.0, atol=1e-5)
+
+
+def test_segment_softmax_self_matches_dense():
+    """segment_softmax_self (GAT add_self_loops parity primitive): per
+    target, softmax over incident edges + one self logit — checked against
+    a dense numpy softmax, both layouts, incl. empty targets."""
+    import numpy as np
+
+    from salient_plusplus_tpu.ops.segment import segment_softmax_self
+
+    rng = np.random.default_rng(0)
+    T, E, H, count = 6, 20, 2, 17
+    dst = np.sort(rng.integers(0, T, count))
+    dst = np.concatenate([dst, np.full(E - count, T)]).astype(np.int32)
+    logits = (rng.standard_normal((E, H)) * 3).astype(np.float32)
+    self_logit = (rng.standard_normal((T, H)) * 3).astype(np.float32)
+    for sorted_dst in (True, False):
+        att, satt = segment_softmax_self(
+            jnp.asarray(logits), jnp.asarray(dst), jnp.int32(count), T,
+            jnp.asarray(self_logit), sorted_dst)
+        att, satt = np.asarray(att), np.asarray(satt)
+        for t in range(T):
+            es = [e for e in range(count) if dst[e] == t]
+            for h in range(H):
+                ls = np.array([logits[e, h] for e in es]
+                              + [self_logit[t, h]])
+                sm = np.exp(ls - ls.max())
+                sm /= sm.sum()
+                for i, e in enumerate(es):
+                    np.testing.assert_allclose(att[e, h], sm[i], atol=1e-5)
+                np.testing.assert_allclose(satt[t, h], sm[-1], atol=1e-5)
+        assert np.all(att[count:] == 0)
+    # empty targets: self attention gets everything
+    dst2 = np.concatenate([np.zeros(3), np.full(E - 3, T)]).astype(np.int32)
+    _, satt2 = segment_softmax_self(
+        jnp.asarray(logits), jnp.asarray(dst2), jnp.int32(3), T,
+        jnp.asarray(self_logit), True)
+    np.testing.assert_allclose(np.asarray(satt2)[1:], 1.0)
+    # gradients flow finite through both outputs
+    import jax
+
+    def loss(lg, sl):
+        a, s = segment_softmax_self(lg, jnp.asarray(dst), jnp.int32(count),
+                                    T, sl, True)
+        return a.sum() + s.sum()
+
+    g = jax.grad(loss, argnums=(0, 1))(jnp.asarray(logits),
+                                       jnp.asarray(self_logit))
+    assert all(np.isfinite(np.asarray(x)).all() for x in g)
