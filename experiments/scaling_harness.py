@@ -32,7 +32,10 @@ import subprocess
 import sys
 import time
 
-EPOCHS = 3  # epoch 0 is compile-polluted; stats skip it
+EPOCHS = int(os.environ.get("SCALH_EPOCHS", 3))  # epoch 0 is
+#   compile-polluted; stats skip it
+NODES = int(os.environ.get("SCALH_NODES", 8192))  # env knobs let the
+#   regression test run a trimmed harness as a subprocess
 
 HOST_STAGES = ("sample_wait", "assemble_h2d", "cold_serve", "bucket_psum")
 
@@ -47,7 +50,7 @@ def _build_trainer():
     from salient_plusplus_tpu.train.dist_loop import DistributedTrainer
 
     g = synthetic.planted_partition(
-        name="scalh", num_nodes=8192, num_classes=8, avg_degree=10,
+        name="scalh", num_nodes=NODES, num_classes=8, avg_degree=10,
         num_features=32, seed=17)
     labels = contiguous_partition(g.num_nodes, 8)
     cfg = RunConfig(
@@ -161,8 +164,10 @@ def main():
                  "epoch walls are not comparable to TPU; stage shares "
                  "and the 1p->2p deltas are the signal. bucket_psum is "
                  "the per-step cross-process agreement collective "
-                 "(zero in 1-proc by construction); assemble_h2d "
-                 "includes it."),
+                 "(zero in 1-proc by construction), measured as "
+                 "dispatch + a read deferred one iteration (the "
+                 "two-deep pipeline hides its wire latency behind a "
+                 "device step)."),
     }
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     with open(out_path, "w") as f:

@@ -362,15 +362,11 @@ class DistributedTrainer:
             worst = max(worst, int(cnt.max()))
         return int(-(-int(worst * self.cfg.spec_safety) // align) * align)
 
-    def _allsum_host(self, per_device_rows: np.ndarray) -> np.ndarray:
-        """Sum per-device host-side counters across the WHOLE mesh.
-
-        Self-correction decisions (spec/budget growth) must be identical
-        on every process — diverged compiled shapes would deadlock the
-        collectives — so host-observed drop counts are agreed via one
-        tiny psum per epoch. ``per_device_rows``: [n_local_devices, k]."""
-        if jax.process_count() == 1:
-            return per_device_rows.sum(axis=0)
+    def _allsum_dispatch(self, per_device_rows: np.ndarray):
+        """Dispatch (async) the cross-mesh host-counter psum; returns the
+        device array future. Callers that can tolerate latency read it
+        later (the train loop reads one iteration after dispatch, hiding
+        the collective behind a device step)."""
         if self._psum_prog is None:
             def f(a):
                 return jax.lax.psum(a[0], DATA_AXIS)[None]
@@ -381,7 +377,18 @@ class DistributedTrainer:
         glob = jax.make_array_from_process_local_data(
             self.batch_sharding,
             np.asarray(per_device_rows, np.int64))
-        return np.asarray(self._psum_prog(glob))[0]  # [1, k] → [k]
+        return self._psum_prog(glob)
+
+    def _allsum_host(self, per_device_rows: np.ndarray) -> np.ndarray:
+        """Sum per-device host-side counters across the WHOLE mesh.
+
+        Self-correction decisions (spec/budget growth) must be identical
+        on every process — diverged compiled shapes would deadlock the
+        collectives — so host-observed drop counts are agreed via one
+        tiny psum per epoch. ``per_device_rows``: [n_local_devices, k]."""
+        if jax.process_count() == 1:
+            return per_device_rows.sum(axis=0)
+        return np.asarray(self._allsum_dispatch(per_device_rows))[0]
 
     def _cold_ids_a2a(self, reqs):
         """Dispatch (async) the cold-request ids all_to_all. Callers issue
@@ -624,13 +631,15 @@ class DistributedTrainer:
         sample_wait = assemble = cold_serve = bucket_psum = 0.0
         tight_steps = 0
 
-        def _assemble():
-            """Stack the next per-device batches and DISPATCH their cold
-            ids all_to_all (async) — issued one step ahead of the step
-            that consumes the rows, so the ids D2H + host gather in
-            :meth:`_cold_serve` overlap the previous step's device
-            compute (the reference's async-slicing overlap, N7)."""
-            nonlocal sample_wait, assemble, tight_steps, bucket_psum
+        def _pull():
+            """Take the next per-device batches off the samplers and
+            DISPATCH (async) the cross-process bucket-agreement psum.
+            The blocking read happens in :func:`_finish`, a full
+            iteration later — the agreement's wire latency overlaps a
+            whole device step instead of sitting on the host's critical
+            path (scaling-harness finding: the per-step blocking psum
+            read was the dominant marginal cost of a process boundary)."""
+            nonlocal sample_wait, bucket_psum
             t0 = time.perf_counter()
             bufs = [next(it) for it in its]
             t1 = time.perf_counter()
@@ -641,13 +650,29 @@ class DistributedTrainer:
             # process must compile/run the same program this step.
             fit = (self.train_tight is not None
                    and all(b.bucket is not None for b in bufs))
+            fit_fut = None
             if self.train_tight is not None and jax.process_count() > 1:
-                tp = time.perf_counter()
-                unfit = int(self._allsum_host(np.asarray(
+                fit_fut = self._allsum_dispatch(np.asarray(
                     [[0 if fit else 1]] * len(self.local_ranks),
-                    np.int64))[0])
-                fit = unfit == 0
-                bucket_psum += time.perf_counter() - tp
+                    np.int64))
+                bucket_psum += time.perf_counter() - t1
+            return bufs, fit, fit_fut
+
+        def _finish(pend):
+            """Resolve the bucket agreement, stack to one global batch
+            (H2D), and DISPATCH the cold ids all_to_all (async) — issued
+            one step ahead of the step that consumes the rows, so the
+            ids D2H + host gather in :meth:`_cold_serve` overlap the
+            previous step's device compute (the reference's
+            async-slicing overlap, N7)."""
+            nonlocal assemble, tight_steps, bucket_psum
+            bufs, fit, fit_fut = pend
+            t1 = time.perf_counter()
+            if fit_fut is not None:
+                fit = int(np.asarray(fit_fut)[0, 0]) == 0
+                tp = time.perf_counter()
+                bucket_psum += tp - t1
+                t1 = tp
             bucket = self.train_tight if fit else None
             if fit:
                 tight_steps += 1
@@ -665,13 +690,18 @@ class DistributedTrainer:
             return dev, ids_recv
 
         with self.stats.region("train_epoch"):
-            nxt = _assemble()
+            # two-deep pipeline: at iteration k, batch k+2 is PULLED (its
+            # agreement psum dispatched) and batch k+1 is FINISHED (psum
+            # read — dispatched a full iteration ago — then stack/H2D +
+            # cold a2a, all BEFORE step k so the a2a executes ahead of
+            # the step on-device, preserving the serve overlap)
+            built = _finish(_pull()) if n_iters > 0 else None
+            pend = _pull() if n_iters > 1 else None
             for step_i in range(n_iters):
-                dev, ids_recv = nxt
-                # queue batch k+1's ids a2a BEFORE step k: by iteration
-                # k+1 its result is device-complete and the serve below
-                # never blocks on the device
-                nxt = _assemble() if step_i + 1 < n_iters else None
+                dev, ids_recv = built
+                pend2 = _pull() if step_i + 2 < n_iters else None
+                built = _finish(pend) if pend is not None else None
+                pend = pend2
                 if ids_recv is not None:
                     t2 = time.perf_counter()
                     rows, scale = self._cold_serve(ids_recv,
