@@ -145,6 +145,10 @@ def main():
         cold_cache_slots=cold_cache_slots,
     )
     trainer = Trainer(cfg, g)
+    import sys
+
+    print(f"bench: trainer built (features resident, calibration done) "
+          f"({time.strftime('%H:%M:%S')})", file=sys.stderr, flush=True)
 
     idx = trainer.shuffler.get_idx(0)
     n_win = int(os.environ.get("BENCH_WINDOWS", 3))
@@ -178,6 +182,24 @@ def main():
             trainer.state, trainer.features, warm)
         jax.block_until_ready(wloss)
 
+    import sys
+
+    print(f"bench: warmup programs compiled+executed "
+          f"({time.strftime('%H:%M:%S')})", file=sys.stderr, flush=True)
+    # gather-roofline probe #1 — BEFORE the measurement windows, while the
+    # chip is in its freshest state. A probe taken only after sustained
+    # load measures a throttled chip and can report roofline_frac > 1
+    # (the windows ran faster than the "ceiling"); the ceiling is the
+    # chip's BEST per-row cost, so probe both sides and take the min.
+    if os.environ.get("BENCH_PROBE_PRE", "1") != "0":
+        gather_pre, gather_pre_src = _measure_gather_ns(jax,
+                                                        trainer.features)
+    else:  # >HBM runs are wire-bound; skipping trims tunnel-wedge exposure
+        gather_pre, gather_pre_src = float("inf"), "skipped"
+    print(f"bench: gather probe(pre) {gather_pre:.1f} ns/row; starting "
+          f"{warmup} warmup + {n_win}x{steps} window steps",
+          file=sys.stderr, flush=True)
+
     it = iter(trainer.train_sampler)
     feeder = DeviceFeeder(it, sharding=trainer.device, depth=4)
     n = 0
@@ -193,6 +215,10 @@ def main():
             now = time.perf_counter()
             if t0 is not None:
                 windows.append((feeder.edges_fed - e_mark) / (now - t0))
+                print(f"bench: window {len(windows)} "
+                      f"{windows[-1] / 1e6:.1f}M e/s "
+                      f"({time.strftime('%H:%M:%S')})",
+                      file=sys.stderr, flush=True)
             t0 = now
             e_mark = feeder.edges_fed
         batch = trainer._pre_step(batch)
@@ -256,7 +282,16 @@ def main():
     if trainer.train_tight is not None:
         rows_step = (tight_frac * gather_rows(trainer.train_tight)
                      + (1 - tight_frac) * rows_step)
-    gather_ns, gather_src = _measure_gather_ns(jax, trainer.features)
+    gather_post, gather_post_src = _measure_gather_ns(jax, trainer.features)
+    # ceiling = fastest MEASURED per-row cost (pre-load vs post-load chip
+    # state); an "env" override wins outright; if neither side measured
+    # (throttle hiccups / skipped), the round-2 fallback constant applies
+    cands = [(gather_pre, gather_pre_src), (gather_post, gather_post_src)]
+    if any(s == "env" for _, s in cands):
+        gather_ns, gather_src = gather_post, "env"
+    else:
+        valid = [(v, s) for v, s in cands if s == "measured"]
+        gather_ns, gather_src = min(valid) if valid else (11.6, "fallback")
     t_floor = rows_step * gather_ns * 1e-9
     roofline_kind = ROOFLINE_MODELS.get(model_name)
     roofline_eps = (edges_per_batch / t_floor
@@ -303,6 +338,11 @@ def main():
             if roofline_eps is not None else None,
         "gather_ns_per_row": round(gather_ns, 2),
         "gather_ns_source": gather_src,
+        # both probe sides (pre = fresh chip, post = after sustained load;
+        # their spread is the chip-state variance during this run)
+        "gather_ns_pre": (round(gather_pre, 2)
+                          if np.isfinite(gather_pre) else None),
+        "gather_ns_post": round(gather_post, 2),
         # "exact": the row model IS this arch's aggregation structure;
         # "approx": documented estimate (see gather_rows comment)
         "roofline_kind": roofline_kind,
