@@ -271,13 +271,20 @@ def main():
         total_e = sum(s.edge_caps)
         if model_name == "GAT":
             return s.total_node_cap + 4 * total_e
+        if model_name == "GCN":
+            # frontier gather + fwd msg gathers + bwd: no src-sorted
+            # mirror backward for the projected input on the outer hop
+            # (ops/mxu_segment.py::_spmm_nm_bwd), so the outer hop pays a
+            # gather + scatter-equivalent row-op on top of the inner
+            # mirrored hops
+            return s.total_node_cap + total_e + inner + 2 * s.edge_caps[-1]
         if trainer.global_msg0:
             return s.node_caps[L - 1] + s.edge_caps[L - 1] + 2 * inner
         return s.total_node_cap + total_e + inner
 
     ROOFLINE_MODELS = {"SAGE": "exact", "SAGEClassic": "exact",
                        "GIN": "exact", "SAGEResInception": "exact",
-                       "JKNet": "exact", "GAT": "approx"}
+                       "JKNet": "exact", "GAT": "approx", "GCN": "approx"}
     rows_step = gather_rows(spec)
     if trainer.train_tight is not None:
         rows_step = (tight_frac * gather_rows(trainer.train_tight)
@@ -434,9 +441,17 @@ def _measure_gather_ns(jax, table, rows=262_144, n1=3, n2=11):
         jax.block_until_ready(fns[n](n, idx))
         return time.perf_counter() - t0
 
-    for n in (n1, n2):  # compile + first-execution warmup
-        run(n)
-    t1, t2 = run(n1), run(n2)
+    try:
+        for n in (n1, n2):  # compile + first-execution warmup
+            run(n)
+        t1, t2 = run(n1), run(n2)
+    except Exception as e:  # the remote tunnel's compile endpoint can
+        # drop mid-run; a failed PROBE must not kill the whole bench
+        print(f"WARNING: gather probe failed ({type(e).__name__}: "
+              f"{str(e)[:200]}) — falling back to the round-2 constant "
+              "11.6; roofline fields are NOT live-calibrated this run",
+              file=sys.stderr)
+        return 11.6, "fallback"
     ns = (t2 - t1) / (n2 - n1) / rows * 1e9
     if not (0.1 < ns < 1000.0):  # nonsensical slope (throttle hiccup)
         print(f"WARNING: gather probe slope nonsensical ({ns:.2f} ns/row) "
