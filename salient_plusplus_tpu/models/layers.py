@@ -106,6 +106,25 @@ class GATConv(nn.Module):
                            (1, H, C), self.param_dtype).astype(self.dtype)
         alpha_src = (xs * a_src).sum(-1)            # [N_in, H]
         alpha_dst = (xt * a_dst).sum(-1)            # [N_out, H]
+        if (self.add_self_loops and mxu_spmm_enabled()
+                and getattr(edge, "msrc", None) is not None):
+            # scatter-free fwd AND bwd: attention recomputed in mirror
+            # order from per-target (max, denom) residuals
+            # (ops/gat_agg.py) — the autodiff path below scatter-adds
+            # d_xs over unsorted src
+            from ..ops.gat_agg import gat_attention_agg
+
+            out = gat_attention_agg(
+                out_cap, self.negative_slope, xs, xt,
+                alpha_src.astype(jnp.float32),
+                alpha_dst.astype(jnp.float32),
+                edge.src, edge.dst, edge.count, edge.msrc, edge.mdst,
+            ).reshape(-1, H * C).astype(self.dtype)
+            if self.use_bias:
+                out = out + self.param(
+                    "bias", nn.initializers.zeros,
+                    (H * C,), self.param_dtype).astype(self.dtype)
+            return out
         logits = alpha_src[edge.src] + alpha_dst[edge.dst]   # [E, H]
         logits = nn.leaky_relu(logits, self.negative_slope)
         if self.add_self_loops:

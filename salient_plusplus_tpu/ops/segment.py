@@ -180,7 +180,7 @@ def sorted_segment_softmax(logits: jnp.ndarray, dst: jnp.ndarray, count,
 
 def segment_softmax_self(logits: jnp.ndarray, dst: jnp.ndarray, count,
                          num_segments: int, self_logit: jnp.ndarray,
-                         sorted_dst: bool = True):
+                         sorted_dst: bool = True, return_stats: bool = False):
     """Per-target softmax over incoming edges PLUS one implicit self-loop
     logit per target.
 
@@ -264,6 +264,12 @@ def segment_softmax_self(logits: jnp.ndarray, dst: jnp.ndarray, count,
     c_t = scale_t / D_t                       # [T, H]
     c_pad = jnp.concatenate([c_t, jnp.zeros_like(c_t[:1])], axis=0)
     att = ex * jnp.take(c_pad, safe_dst, axis=0)
+    if return_stats:
+        # (m_t, D_t) fully determine the normalizer: att_e for any edge
+        # order is exp(z_e - m_t[dst_e]) / D_t[dst_e] — the residuals the
+        # scatter-free GAT backward (ops/gat_agg.py) recomputes attention
+        # from in src-sorted mirror order
+        return att, self_att, m_t, D_t
     return att, self_att
 
 

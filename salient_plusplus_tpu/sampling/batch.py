@@ -38,6 +38,13 @@ class BatchSpec:
     seed_cap: int                     # max seeds per batch
     node_caps: Tuple[int, ...]        # len L+1; cap of cumulative frontier per level
     edge_caps: Tuple[int, ...]        # len L; per-hop edge capacity (sampling order)
+    # emit the src-sorted mirror for the OUTERMOST hop too (default: hops
+    # 0..L-2 only). Models that differentiate a projection of the raw
+    # input — GAT (w_src·x), GCN/ARMA (x·W aggregated) — need layer-0
+    # d_x, which without a mirror falls back to an unsorted scatter-add
+    # over the LARGEST hop's edges. Incompatible with gsrc mode (the
+    # outer hop's src slots are rewritten to global ids there).
+    mirror_all: bool = False
 
     def __post_init__(self):
         L = len(self.fanouts)

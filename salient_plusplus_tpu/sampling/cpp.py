@@ -90,6 +90,7 @@ class BatchBuffers:
     def __init__(self, spec: BatchSpec):
         self.spec = spec
         L = spec.num_hops
+        self.mirror_hops = L if spec.mirror_all else L - 1
         self.n_id = np.zeros(spec.total_node_cap, np.int32)
         self.level_sizes = np.zeros(L + 1, np.int32)
         total_e = sum(spec.edge_caps)
@@ -101,9 +102,12 @@ class BatchBuffers:
         self.overflow = np.zeros(2, np.int32)
         # src-sorted mirrors for hops 0..L-2 (backward aggregation runs the
         # transposed-CSR MXU kernel; the last hop feeds model layer 0 whose
-        # raw-feature input carries no gradient, so it needs no mirror)
-        self.mirror_src = np.zeros(self.edge_offsets[L - 1], np.int32) \
-            if L > 1 else np.zeros(0, np.int32)
+        # raw-feature input carries no gradient, so it needs no mirror) —
+        # or for ALL hops when spec.mirror_all (GAT/GCN/ARMA layer-0
+        # gradients flow through a projection of the input)
+        mh = self.mirror_hops
+        self.mirror_src = np.zeros(self.edge_offsets[mh], np.int32) \
+            if mh > 0 else np.zeros(0, np.int32)
         self.mirror_dst = np.zeros_like(self.mirror_src)
         self.y = np.zeros(spec.seed_cap, np.int32)
         self.seed_count = np.int32(0)
@@ -223,16 +227,16 @@ class BatchBuffers:
         self.mdst_lo = np.zeros(mir_len, np.uint16)
         # mirror values are frontier-local: msrc <= node_caps[h+1] (the
         # PAD value IS the cap — inclusive, hence >=), mdst < node_caps[h]
-        # (its pad is 0; mirrors exist for hops 0..L-2 only)
+        # (its pad is 0; mirrors exist for hops 0..mirror_hops-1)
         self.msrc_hi = [
             (np.zeros(spec.edge_caps[h], np.uint8)
              if node_caps[h + 1] >= 2**16 else None)
-            for h in range(L - 1)
+            for h in range(self.mirror_hops)
         ]
         self.mdst_hi = [
             (np.zeros(spec.edge_caps[h], np.uint8)
              if node_caps[h] > 2**16 else None)
-            for h in range(L - 1)
+            for h in range(self.mirror_hops)
         ]
         if num_nodes is not None and num_nodes <= 2**24:
             n = int(spec.total_node_cap)
@@ -287,6 +291,11 @@ class BatchBuffers:
                              cfg.x_cold.dtype,
                              with_scale=cfg.x_cold_scale is not None)
         if cfg.emit_gsrc:
+            # the gsrc rewrite replaces the outer hop's frontier-local
+            # src values with global ids AFTER the mirror is built — an
+            # outer-hop mirror would silently go stale
+            assert not cfg.spec.mirror_all, \
+                "mirror_all is incompatible with gsrc mode"
             self.attach_gsrc()
         if cfg.compress_dst:
             self.attach_ddeg()
@@ -519,19 +528,21 @@ class BatchBuffers:
                      if self.ddeg is None else None),
                 count=self.edge_counts[h],
                 msrc=(sl(self.mirror_src, h)
-                      if h < L - 1 and not packed else None),
+                      if h < self.mirror_hops and not packed else None),
                 mdst=(sl(self.mirror_dst, h)
-                      if h < L - 1 and not packed else None),
+                      if h < self.mirror_hops and not packed else None),
                 ddeg=(self.ddeg[do[h]:do[h] + spec.node_caps[h]]
                       if self.ddeg is not None else None),
                 src_lo=sl(self.src_lo, h) if packed else None,
                 src_hi=hi(self.src_hi, h) if packed else None,
                 msrc_lo=(sl(self.msrc_lo, h)
-                         if packed and h < L - 1 else None),
-                msrc_hi=hi(self.msrc_hi, h) if packed and h < L - 1 else None,
+                         if packed and h < self.mirror_hops else None),
+                msrc_hi=(hi(self.msrc_hi, h)
+                         if packed and h < self.mirror_hops else None),
                 mdst_lo=(sl(self.mdst_lo, h)
-                         if packed and h < L - 1 else None),
-                mdst_hi=hi(self.mdst_hi, h) if packed and h < L - 1 else None,
+                         if packed and h < self.mirror_hops else None),
+                mdst_hi=(hi(self.mdst_hi, h)
+                         if packed and h < self.mirror_hops else None),
             )
             for h in reversed(range(L))
         )
@@ -613,8 +624,9 @@ class NativeSampler:
             raise RuntimeError(f"sptpu_sample_batch failed rc={rc} "
                                f"(1=too many seeds, 2=duplicate seeds, "
                                f"3=seed out of range)")
-        # src-sorted mirrors for all but the outermost hop
-        for h in range(spec.num_hops - 1):
+        # src-sorted mirrors for all but the outermost hop (every hop
+        # when spec.mirror_all)
+        for h in range(bufs.mirror_hops):
             in_cap = int(node_caps[h + 1])
             ws = self._mirror_ws(in_cap)
             off = int(bufs.edge_offsets[h])

@@ -9,6 +9,7 @@ drivers build on this in parallel/spmd.py.
 from __future__ import annotations
 
 import time
+import dataclasses
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
@@ -141,6 +142,16 @@ class Trainer:
                 cfg.train_fanouts, cfg.calibration_batches, cfg.spec_safety,
                 cfg.seed, worst_case_probe=cfg.calibrate_worst_case)
             self.train_tight = None
+        # GAT/GCN/ARMA differentiate a PROJECTION of the raw input, so
+        # layer 0 needs d_x — emit the outermost hop's src-sorted mirror
+        # too (scatter-free backward over the largest hop; gsrc models
+        # never need it and the two are mutually exclusive)
+        if cfg.model_name in ("GAT", "GCN", "ARMA"):
+            self.train_spec = dataclasses.replace(self.train_spec,
+                                                  mirror_all=True)
+            if self.train_tight is not None:
+                self.train_tight = dataclasses.replace(self.train_tight,
+                                                       mirror_all=True)
         # (split, fanouts) -> (spec, tight-or-None)
         self.eval_specs: Dict[tuple, tuple] = {}
         # per-split cold-cap floor: grown after a dropping evaluate() (the

@@ -48,7 +48,7 @@ def _child_rss_gb() -> float:
 def run_drill(nodes: int = 2_450_000, parts: int = 8, epochs: int = 3,
               root: str = "/tmp/products_drill", feature_dim: int = 100,
               fanouts: str = "15,10,5", batch: int = 1024,
-              workers: int = 0) -> dict:
+              workers: int = 0, json_out: str | None = None) -> dict:
     os.makedirs(root, exist_ok=True)
     report = {"nodes": nodes, "parts": parts, "epochs": epochs,
               "stages": {}}
@@ -58,6 +58,11 @@ def run_drill(nodes: int = 2_450_000, parts: int = 8, epochs: int = 3,
             "seconds": round(time.perf_counter() - t0, 1),
             "peak_rss_gb": round(max(_rss_gb(), _child_rss_gb()), 2)}
         print(f"[drill] {name}: {report['stages'][name]}", flush=True)
+        # incremental write: a multi-hour large-scale drill that dies in
+        # stage 3 still leaves the RSS receipts of stages 1-2 on disk
+        if json_out:
+            with open(json_out, "w") as f:
+                json.dump(report, f, indent=2)
 
     # 1. generate + save in the real on-disk format (fp16 rows, CSR)
     t0 = time.perf_counter()
@@ -117,8 +122,12 @@ def main(argv=None):
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--root", default="/tmp/products_drill")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--workers", type=int, default=0)
     args = ap.parse_args(argv)
-    rep = run_drill(args.nodes, args.parts, args.epochs, args.root)
+    rep = run_drill(args.nodes, args.parts, args.epochs, args.root,
+                    batch=args.batch, workers=args.workers,
+                    json_out=args.out)
     s = json.dumps(rep, indent=2)
     print(s)
     if args.out:
