@@ -260,24 +260,23 @@ def main():
     # per step at CAPACITY shapes). Exact for the SAGE aggregation
     # structure (SAGE/SAGEClassic/GIN/SAGEResInception/JKNet — gathers
     # dominate; GIN/JKNet add dense/BN row-ops on top, so their ceiling is
-    # slightly optimistic). GAT is approximate: per layer it pays the fwd
-    # message gather (E), the attention-logit gathers (~E, thin rows cost
-    # a full tile read like wide ones), the bwd d_out gather (E), and the
-    # d_x scatter-add over unsorted src (~E at XLA's ~8.6 ns/edge —
-    # counted as one row-op).
+    # slightly optimistic). GAT is approximate, modeling the scatter-free
+    # custom-VJP path (ops/gat_agg.py, every hop mirrored): per hop the
+    # fwd pays the message gather (E) + two thin logit gathers (2E — thin
+    # rows cost a full tile read like wide ones), the bwd pays g[mdst] +
+    # xs[msrc] + the fused target-stats gather + a_src[msrc] (4E); MXU
+    # segment kernels add ~2 ns/edge on top.
     def gather_rows(s):
         L = s.num_hops
         inner = sum(s.edge_caps[: L - 1])
         total_e = sum(s.edge_caps)
         if model_name == "GAT":
-            return s.total_node_cap + 4 * total_e
+            return s.total_node_cap + 7 * total_e
         if model_name == "GCN":
-            # frontier gather + fwd msg gathers + bwd: no src-sorted
-            # mirror backward for the projected input on the outer hop
-            # (ops/mxu_segment.py::_spmm_nm_bwd), so the outer hop pays a
-            # gather + scatter-equivalent row-op on top of the inner
-            # mirrored hops
-            return s.total_node_cap + total_e + inner + 2 * s.edge_caps[-1]
+            # frontier gather + fwd msg gather + mirror bwd gather per
+            # hop (mirror_all: the outer hop's projected-input backward
+            # rides the transposed-CSR kernel too)
+            return s.total_node_cap + 2 * total_e
         if trainer.global_msg0:
             return s.node_caps[L - 1] + s.edge_caps[L - 1] + 2 * inner
         return s.total_node_cap + total_e + inner

@@ -106,16 +106,21 @@ def _gat_bwd(out_cap, ns, res, d_out):
     draw_self = (self_att * (dself_att - s_t)) * _dlrelu(raw_self, ns)
 
     # mirror (src-sorted) pass: recompute attention from (m, D), then
-    # every edge-indexed reduction is over SORTED msrc
+    # every edge-indexed reduction is over SORTED msrc. An XLA row gather
+    # costs a full (8,128) tile read per row REGARDLESS of row width
+    # (PERF_NOTES "chained microbenchmarks"), so all four target-side
+    # per-edge operands — a_dst, m, D, S — ride ONE [E, 4H] gather
+    # instead of four thin ones.
     mm = valid_mask(E, count)
     ms = jnp.minimum(msrc, N - 1)
     md = jnp.minimum(mdst, T - 1)
-    raw_m = jnp.take(a_src, ms, axis=0) + jnp.take(a_dst, md, axis=0)
+    tstats = jnp.concatenate([a_dst, m_t, d_t, s_t], axis=1)    # [T, 4H]
+    st = jnp.take(tstats, md, axis=0)                           # [E, 4H]
+    a_dst_m, m_m, d_m, s_m = (st[:, :H], st[:, H:2 * H],
+                              st[:, 2 * H:3 * H], st[:, 3 * H:])
+    raw_m = jnp.take(a_src, ms, axis=0) + a_dst_m
     z_m = _lrelu(raw_m, ns)
-    att_m = jnp.where(
-        mm[:, None],
-        jnp.exp(z_m - jnp.take(m_t, md, axis=0))
-        / jnp.take(d_t, md, axis=0), 0.0)                       # [E, H]
+    att_m = jnp.where(mm[:, None], jnp.exp(z_m - m_m) / d_m, 0.0)
     g_m = jnp.take(g.reshape(T, H * C).astype(xs.dtype), md,
                    axis=0).reshape(E, H, C)
     d_msg = att_m[:, :, None].astype(xs.dtype) * g_m
@@ -125,7 +130,7 @@ def _gat_bwd(out_cap, ns, res, d_out):
 
     xs_m = jnp.take(xs.reshape(N, H * C), ms, axis=0).reshape(E, H, C)
     datt_m = (g_m.astype(jnp.float32) * xs_m.astype(jnp.float32)).sum(-1)
-    dz_m = att_m * (datt_m - jnp.take(s_t, md, axis=0))
+    dz_m = att_m * (datt_m - s_m)
     draw_m = dz_m * _dlrelu(raw_m, ns)                          # [E, H]
 
     d_a_src = masked_segment_sum(draw_m, msrc, count, N, sorted_dst=True)
