@@ -18,9 +18,13 @@ products-drill:
 	    --nodes 2450000 --parts 8 --epochs 3 --out docs/products_drill.json
 
 # parallel by default: 14.4 -> 7.5 min on a 4-core host (pytest-xdist);
-# use `make test-seq` when debugging worker-interleaved output
+# use `make test-seq` when debugging worker-interleaved output.
+# Tests marked `serial` assert wall-clock bounds on multi-process
+# measurement legs — under xdist they measure core contention, not the
+# code (round-4 red suite) — so they run in a second, sequential pass.
 test:
-	python -m pytest tests/ -q -n auto
+	python -m pytest tests/ -q -n auto -m "not serial"
+	python -m pytest tests/ -q -m serial
 
 test-seq:
 	python -m pytest tests/ -q

@@ -29,6 +29,7 @@ from ..parallel.exchange import DeviceCache, wire_row_bytes
 from ..parallel.mesh import DATA_AXIS, make_mesh
 from ..parallel.spmd import (
     make_spmd_eval_step, make_spmd_train_step, stack_batches)
+from ..sampling.batch import mirror_all_specs
 from ..sampling.cpp import NativeSampler
 from ..sampling.sampler import FastSampler, FastSamplerConfig
 from ..sampling.shufflers import (
@@ -217,6 +218,12 @@ class DistributedTrainer:
                 cfg.calibration_batches, cfg.spec_safety, cfg.seed,
                 worst_case_probe=cfg.calibrate_worst_case)
             self.train_tight = None
+        # GAT/GCN/ARMA need the outermost hop's mirror for the
+        # scatter-free layer-0 backward on the SPMD path too (round-4
+        # gap: only the single-chip Trainer set it, so multichip runs
+        # silently fell back to the unsorted scatter-add backward)
+        self.train_spec, self.train_tight = mirror_all_specs(
+            cfg.model_name, self.train_spec, self.train_tight)
         self.r_cap = self._calibrate_r_cap()
         self._owner_cold = (self.hot_size is not None
                             and cfg.cold_mode == "owner")

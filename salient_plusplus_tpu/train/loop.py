@@ -20,7 +20,7 @@ import numpy as np
 from ..config import RunConfig
 from ..data.dataset import GraphData
 from ..models import make_model
-from ..sampling.batch import BatchSpec
+from ..sampling.batch import BatchSpec, mirror_all_specs
 from ..sampling.cpp import NativeSampler
 from ..sampling.sampler import FastSampler, FastSamplerConfig
 from ..sampling.shufflers import Shuffler
@@ -146,12 +146,8 @@ class Trainer:
         # layer 0 needs d_x — emit the outermost hop's src-sorted mirror
         # too (scatter-free backward over the largest hop; gsrc models
         # never need it and the two are mutually exclusive)
-        if cfg.model_name in ("GAT", "GCN", "ARMA"):
-            self.train_spec = dataclasses.replace(self.train_spec,
-                                                  mirror_all=True)
-            if self.train_tight is not None:
-                self.train_tight = dataclasses.replace(self.train_tight,
-                                                       mirror_all=True)
+        self.train_spec, self.train_tight = mirror_all_specs(
+            cfg.model_name, self.train_spec, self.train_tight)
         # (split, fanouts) -> (spec, tight-or-None)
         self.eval_specs: Dict[tuple, tuple] = {}
         # per-split cold-cap floor: grown after a dropping evaluate() (the

@@ -33,6 +33,11 @@ def main():
     from salient_plusplus_tpu.partition import contiguous_partition
     from salient_plusplus_tpu.train.dist_loop import DistributedTrainer
 
+    # MP_MODEL=GAT variant (tests/test_multiprocess.py): proves the
+    # scatter-free mirror backward runs across a REAL process boundary
+    # (mirror arrays ride the stacked batch H2D; gradients psum'd). The
+    # GAT leg skips the hot/cold tier to keep the 2-process run cheap.
+    model = os.environ.get("MP_MODEL", "SAGE")
     g = synthetic.planted_partition(
         name="mp", num_nodes=4096, num_classes=4, avg_degree=8,
         num_features=16, seed=21)
@@ -40,9 +45,11 @@ def main():
     cfg = RunConfig(
         train_batch_size=32, train_fanouts=[4, 3],
         batchwise_test_fanouts=[5, 5], final_test_fanouts=[5, 5],
+        model_name=model,
         hidden_features=16, num_layers=2, lr=0.01, num_workers=1,
         calibration_batches=2, seed=3, cache_size=0.2,
-        hbm_fraction=0.75, cold_mode="owner",
+        **({} if model != "SAGE" else
+           dict(hbm_fraction=0.75, cold_mode="owner")),
     )
     t = DistributedTrainer(cfg, g, labels, mesh=make_mesh(8))
     m0 = t.train_epoch(0)
@@ -53,6 +60,7 @@ def main():
         with open(out_path, "w") as f:
             json.dump({"loss0": m0["loss"], "loss1": m1["loss"],
                        "acc": acc, "r_cap": t.r_cap,
+                       "mirror_all": t.train_spec.mirror_all,
                        "remote0": m0["remote"], "remote1": m1["remote"],
                        "cache_hits1": m1["cache_hits"],
                        "overflow": m0["overflow"] + m1["overflow"],

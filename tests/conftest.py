@@ -29,6 +29,17 @@ import pytest
 from salient_plusplus_tpu.data import synthetic
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "serial: timing-sensitive tests that assert wall-clock bounds on "
+        "subprocess legs; they must run without xdist load on the same "
+        "cores (the Makefile runs them in a second, sequential pass — "
+        "round-4 regression: the host-overhead bound failed only under "
+        "-n auto contention, 3 xdist workers + 3 measurement processes "
+        "on 4 cores)")
+
+
 @pytest.fixture(scope="session")
 def tiny_graph():
     """Deterministic small planted-partition graph for unit tests."""

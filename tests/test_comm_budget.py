@@ -88,6 +88,7 @@ def test_products_scale_artifact_meets_north_star():
     assert r["r_cap"] < rows[0.0]["r_cap"]
 
 
+@pytest.mark.serial
 def test_host_overhead_marginal_bound(tmp_path):
     """Measured complement to the analytic ICI budget (the >=80% 1->2-host
     north star): the marginal HOST-side orchestration cost of a process
@@ -95,7 +96,17 @@ def test_host_overhead_marginal_bound(tmp_path):
     must stay a small fraction of an epoch. Regression guard for the
     two-deep pipeline in dist_loop.train_epoch (a blocking per-step
     collective back on the critical path showed up as ~2 epochs' worth
-    of marginal host time on this proxy; pipelined it is ~2%)."""
+    of marginal host time on this proxy; pipelined it is ~2%).
+
+    serial (NOT under xdist): the harness runs 3 measurement processes
+    (1 parent with 8 CPU devices + 2 cluster workers with 4 each) on a
+    4-core host. Under `-n auto` three OTHER xdist workers compete for
+    the same cores, so the blocking psum read measures PEER COMPUTE
+    preemption, not orchestration — the round-4 red suite was exactly
+    this (bucket_psum 0.20 s/epoch under load vs ~0.02x wall isolated).
+    The 0.5x bound is sized for a quiet machine: isolated runs measure
+    0.02-0.1x wall; a genuine return of the blocking-psum structure bug
+    measured ~2.0x."""
     import subprocess
     import sys
 

@@ -190,7 +190,11 @@ def test_distributed_cold_tier_equivalent():
 
 
 def test_distributed_gat(dist_trainer):
-    """Non-SAGE model through the full SPMD path."""
+    """Non-SAGE model through the full SPMD path — with the round-4
+    scatter-free backward reaching it: the distributed specs must carry
+    mirror_all and the production batches an OUTER-hop mirror (round-4
+    gap: only the single-chip Trainer set mirror_all, so multichip GAT
+    silently fell back to the unsorted scatter-add layer-0 backward)."""
     g = synthetic.planted_partition(
         name="gatd", num_nodes=2000, num_classes=4, avg_degree=8,
         num_features=16, seed=12)
@@ -204,10 +208,60 @@ def test_distributed_gat(dist_trainer):
         num_workers=1, calibration_batches=2, seed=2,
     )
     t = DistributedTrainer(cfg, g, labels, mesh=make_mesh(WORLD))
+    assert t.train_spec.mirror_all
+    if t.train_tight is not None:
+        assert t.train_tight.mirror_all
+    # a batch off the production sampler pipeline carries the outermost
+    # hop's src-sorted mirror (edges[0] = outer hop, processing order)
+    its, _ = t._epoch_iterators(0)
+    b = next(its[0])
+    pb = b.to_padded_batch(b.bucket)
+    e0 = pb.edges[0]
+    assert e0.msrc is not None or e0.msrc_lo is not None
+    its[0].recycle(b)
+    for it in its:
+        it.close()
     m0 = t.train_epoch(0)
     m1 = t.train_epoch(1)
     assert np.isfinite(m1["loss"]) and m1["loss"] < m0["loss"]
     assert 0 <= t.evaluate("valid") <= 1
+
+
+@pytest.mark.parametrize("model", ["GAT", "GCN"])
+def test_dist_mirror_backward_matches_scatter_add(model):
+    """SPMD gradients via the scatter-free mirror backward must match the
+    autodiff scatter-add golden: two identically-seeded distributed runs
+    — mirrors on (production) vs forcibly off — produce the same loss
+    trajectory. Same sampled batches (mirror emission never changes the
+    sampled edges), so any divergence is the backward path."""
+    import salient_plusplus_tpu.train.dist_loop as dl
+    from salient_plusplus_tpu.partition import contiguous_partition
+
+    g = synthetic.planted_partition(
+        name=f"mirr-{model}", num_nodes=1500, num_classes=4, avg_degree=8,
+        num_features=16, seed=9)
+    labels = contiguous_partition(g.num_nodes, WORLD)
+    cfg = RunConfig(
+        train_batch_size=64, train_fanouts=[4, 3],
+        batchwise_test_fanouts=[5, 5], final_test_fanouts=[5, 5],
+        model_name=model, hidden_features=16, num_layers=2, lr=0.05,
+        num_workers=1, calibration_batches=2, seed=4,
+    )
+    losses = {}
+    for mirrored in (True, False):
+        orig = dl.mirror_all_specs
+        if not mirrored:
+            dl.mirror_all_specs = lambda name, spec, tight=None: (spec,
+                                                                  tight)
+        try:
+            t = DistributedTrainer(cfg, g, labels, mesh=make_mesh(WORLD))
+        finally:
+            dl.mirror_all_specs = orig
+        assert t.train_spec.mirror_all == mirrored
+        losses[mirrored] = [t.train_epoch(e)["loss"] for e in range(2)]
+    # epoch-0 losses are pre-update-dominated; epoch 1 runs on weights
+    # produced by epoch-0 GRADIENTS — match there proves the backward
+    np.testing.assert_allclose(losses[True], losses[False], rtol=2e-4)
 
 
 def test_overflow_grows_r_cap():

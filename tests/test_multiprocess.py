@@ -27,7 +27,7 @@ def _free_port():
     return port
 
 
-def test_two_process_cluster_matches_single_process(tmp_path):
+def _launch_two_process(tmp_path, model="SAGE"):
     port = _free_port()
     out = str(tmp_path / "mp_result.json")
     env = dict(os.environ)
@@ -36,6 +36,7 @@ def test_two_process_cluster_matches_single_process(tmp_path):
         "JAX_PLATFORMS": "cpu",
         "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
         "PALLAS_AXON_POOL_IPS": "",
+        "MP_MODEL": model,
         "PYTHONPATH": os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))),
     })
@@ -60,7 +61,11 @@ def test_two_process_cluster_matches_single_process(tmp_path):
     for p, text in zip(procs, outputs):
         assert p.returncode == 0, text[-3000:]
     with open(out) as f:
-        mp = json.load(f)
+        return json.load(f)
+
+
+def test_two_process_cluster_matches_single_process(tmp_path):
+    mp = _launch_two_process(tmp_path)
     assert mp["process_count"] == 2
     assert mp["local_ranks"] == [0, 1, 2, 3]  # process 0's devices
     assert mp["overflow"] == 0
@@ -99,6 +104,48 @@ def test_two_process_cluster_matches_single_process(tmp_path):
     # all-local decision (same global all-fit predicate)
     assert m1["tight_steps"] == mp["tight_steps1"]
     np.testing.assert_allclose(mp["loss0"], m0["loss"], rtol=1e-5)
+    np.testing.assert_allclose(mp["loss1"], m1["loss"], rtol=1e-5)
+    np.testing.assert_allclose(mp["acc"], acc, atol=1e-6)
+
+
+def test_two_process_gat_mirror_matches_single_process(tmp_path):
+    """GAT across a REAL process boundary with the scatter-free mirror
+    backward (round-4 gap: DistributedTrainer never set mirror_all, so
+    multichip GAT/GCN fell back to the scatter-add autodiff path): the
+    2-process loss trajectory must match the identical single-process
+    8-device run — same gradients through psum — and the distributed
+    specs must carry mirror_all."""
+    mp = _launch_two_process(tmp_path, model="GAT")
+    assert mp["process_count"] == 2
+    assert mp["mirror_all"]
+    assert mp["overflow"] == 0
+
+    from salient_plusplus_tpu.config import RunConfig
+    from salient_plusplus_tpu.data import synthetic
+    from salient_plusplus_tpu.parallel import make_mesh
+    from salient_plusplus_tpu.partition import contiguous_partition
+    from salient_plusplus_tpu.train.dist_loop import DistributedTrainer
+
+    g = synthetic.planted_partition(
+        name="mp", num_nodes=4096, num_classes=4, avg_degree=8,
+        num_features=16, seed=21)
+    labels = contiguous_partition(g.num_nodes, 8)
+    cfg = RunConfig(
+        train_batch_size=32, train_fanouts=[4, 3],
+        batchwise_test_fanouts=[5, 5], final_test_fanouts=[5, 5],
+        model_name="GAT", hidden_features=16, num_layers=2, lr=0.01,
+        num_workers=1, calibration_batches=2, seed=3, cache_size=0.2,
+    )
+    t = DistributedTrainer(cfg, g, labels, mesh=make_mesh(8))
+    m0 = t.train_epoch(0)
+    t.create_cache()
+    m1 = t.train_epoch(1)
+    acc = t.evaluate("valid")
+    assert t.train_spec.mirror_all
+    np.testing.assert_allclose(mp["loss0"], m0["loss"], rtol=1e-5)
+    # epoch-1 loss runs on epoch-0-gradient-updated weights: agreement
+    # proves the mirror backward produced the same gradients across the
+    # process boundary as in-process SPMD
     np.testing.assert_allclose(mp["loss1"], m1["loss"], rtol=1e-5)
     np.testing.assert_allclose(mp["acc"], acc, atol=1e-6)
 

@@ -127,6 +127,49 @@ def test_mirror_pad_at_pow2_boundary():
         bufs.edge_src[:512], np.asarray(dec.edges[1].src))
 
 
+def test_pack_wire_mirror_all_outer_hop_roundtrip():
+    """pack_wire + mirror_all through the REAL sampler path (ADVICE r4):
+    the outermost hop's msrc/mdst — emitted only under mirror_all
+    (GAT/GCN/ARMA specs) — must round-trip the wire packing bit-exactly,
+    including the inclusive pad value node_caps[L], with node caps
+    straddling 2^16 so both hi-byte thresholds (msrc >=, mdst >) fire."""
+    import dataclasses
+
+    g = _graph(v=70_000, deg=8)
+    # inflated caps: in-cap of the outer hop = 2^16 exactly (the msrc pad
+    # value needs bit 16 even though real values fit), out-cap 70_016
+    spec = dataclasses.replace(
+        BatchSpec(fanouts=(4, 3), seed_cap=64,
+                  node_caps=(64, 2**16, 70_016), edge_caps=(512, 1024)),
+        mirror_all=True)
+    batches = {}
+    for pack in (False, True):
+        s = _sampler(g, pack, gsrc=False, spec=spec)
+        batches[pack] = [b.to_padded_batch(b.bucket) for b in iter(s)]
+    assert len(batches[True]) == len(batches[False]) > 0
+    for plain, packed in zip(batches[False], batches[True]):
+        # outer hop (processing order 0) really shipped packed mirrors
+        assert packed.edges[0].msrc is None
+        assert packed.edges[0].msrc_lo is not None
+        # in-cap 70_016 > 2^16 → msrc needs the third byte; out-cap
+        # 2^16 >= 2^16 → mdst of the outer hop needs none (mdst_hi
+        # threshold is exclusive >) but the INNER hop's msrc pad == 2^16
+        # needs bit 16 (inclusive >=)
+        assert packed.edges[0].msrc_hi is not None
+        assert packed.edges[0].mdst_hi is None
+        assert packed.edges[1].msrc_hi is not None
+        dec = decode_batch(packed)
+        for hop, (ep, ed) in enumerate(zip(plain.edges, dec.edges)):
+            assert ep.msrc is not None, hop  # mirror_all: every hop
+            np.testing.assert_array_equal(ep.msrc, np.asarray(ed.msrc))
+            np.testing.assert_array_equal(ep.mdst, np.asarray(ed.mdst))
+            # pads survive the wire: msrc pad == the hop's in-level cap
+            cnt = int(ep.count)
+            in_cap = spec.node_caps[len(plain.edges) - hop]
+            if cnt < ep.msrc.shape[0]:
+                assert (np.asarray(ed.msrc)[cnt:] == in_cap).all()
+
+
 def test_train_losses_bit_equal_with_packing():
     from salient_plusplus_tpu.train.loop import Trainer
 
