@@ -26,6 +26,27 @@ import numpy as np
 BASELINE_EDGES_PER_S = 45e6
 
 
+def chip_state_verdict(frac, h2d_need_mbs, h2d_burst_mbs,
+                       degraded_frac=0.25, link_slack=0.5):
+    """Campaign-level chip-state verdict (round-4 postmortem, VERDICT r4
+    #1). Given the campaign's best-window fraction of the live roofline
+    and its H2D demand vs the link's measured burst credit:
+
+    - frac >= degraded_frac            -> "healthy" (number is credible)
+    - low frac, demand near/above link -> "link-throttled" (the windows
+      measured the tunnel; resting the CHIP won't change it)
+    - low frac, demand << link credit  -> "degraded" (chip-sick
+      signature: not this code, not H2D — rest and re-measure)
+
+    Callers only reach this with a healthy MEASURED gather probe; a
+    probe that failed or was skipped leaves the state "unknown"."""
+    if frac >= degraded_frac:
+        return "healthy"
+    if h2d_need_mbs >= link_slack * h2d_burst_mbs:
+        return "link-throttled"
+    return "degraded"
+
+
 def _await_h2d_credit(jax, min_rate_mbs=600.0, attempts=4, rest_s=180):
     """Pre-flight: the remote-TPU tunnel throttles sustained H2D to a
     credit that recovers after a few idle minutes (PERF_NOTES.md). A bench
@@ -153,8 +174,6 @@ def main():
     idx = trainer.shuffler.get_idx(0)
     n_win = int(os.environ.get("BENCH_WINDOWS", 3))
     need = (steps * n_win + warmup + 6) * cfg.train_batch_size
-    trainer.train_sampler.set_epoch(
-        _cycle_unique(idx, need, cfg.train_batch_size), 0)
 
     # pre-compile BOTH bucket programs (a 96%-tight stream may not show a
     # big-bucket batch until after warmup; its ~30s compile must not land
@@ -200,47 +219,68 @@ def main():
           f"{warmup} warmup + {n_win}x{steps} window steps",
           file=sys.stderr, flush=True)
 
-    it = iter(trainer.train_sampler)
-    feeder = DeviceFeeder(it, sharding=trainer.device, depth=4)
-    n = 0
-    windows = []  # measure several windows; report the best steady state
-    t0 = None
-    e_mark = 0
-    n_windows = int(os.environ.get("BENCH_WINDOWS", 3))
-    sync_win = int(os.environ.get("BENCH_SYNC", 2))
-    sync_q = collections.deque()
-    for batch in feeder:
-        if n >= warmup and (n - warmup) % steps == 0:
-            jax.block_until_ready(trainer.state.params)
-            now = time.perf_counter()
-            if t0 is not None:
-                windows.append((feeder.edges_fed - e_mark) / (now - t0))
-                print(f"bench: window {len(windows)} "
-                      f"{windows[-1] / 1e6:.1f}M e/s "
-                      f"({time.strftime('%H:%M:%S')})",
-                      file=sys.stderr, flush=True)
-            t0 = now
-            e_mark = feeder.edges_fed
-        batch = trainer._pre_step(batch)
-        trainer.state, loss = trainer.train_step(
-            trainer.state, trainer.features, batch)
-        sync_q.append(loss)
-        if len(sync_q) > sync_win:
-            jax.block_until_ready(sync_q.popleft())
-        n += 1
-        if n >= warmup + steps * n_windows:
-            break
-    jax.block_until_ready(trainer.state.params)
-    windows.append((feeder.edges_fed - e_mark) / (time.perf_counter() - t0))
-    it.close()
-    eps = max(windows)
-    import sys
+    def run_campaign(epoch_no, warmup_steps):
+        """One measurement campaign: warmup + n_win windows of `steps`
+        steps off a fresh feeder. Self-contained so a degraded-chip
+        detection can rest and re-run it (round-4 postmortem: the
+        unattended capture recorded 0.053x on a sick chip with zero
+        defense while its own probes said the code and link were fine)."""
+        trainer.train_sampler.set_epoch(
+            _cycle_unique(idx, need, cfg.train_batch_size), epoch_no)
+        it = iter(trainer.train_sampler)
+        feeder = DeviceFeeder(it, sharding=trainer.device, depth=4)
+        n = 0
+        windows = []
+        t0 = None
+        e_mark = 0
+        sync_q = collections.deque()
+        for batch in feeder:
+            if n >= warmup_steps and (n - warmup_steps) % steps == 0:
+                jax.block_until_ready(trainer.state.params)
+                now = time.perf_counter()
+                if t0 is not None:
+                    windows.append(
+                        (feeder.edges_fed - e_mark) / (now - t0))
+                    print(f"bench: window {len(windows)} "
+                          f"{windows[-1] / 1e6:.1f}M e/s "
+                          f"({time.strftime('%H:%M:%S')})",
+                          file=sys.stderr, flush=True)
+                t0 = now
+                e_mark = feeder.edges_fed
+            batch = trainer._pre_step(batch)
+            trainer.state, loss = trainer.train_step(
+                trainer.state, trainer.features, batch)
+            sync_q.append(loss)
+            if len(sync_q) > sync_win:
+                jax.block_until_ready(sync_q.popleft())
+            n += 1
+            if n >= warmup_steps + steps * n_win:
+                break
+        jax.block_until_ready(trainer.state.params)
+        windows.append(
+            (feeder.edges_fed - e_mark) / (time.perf_counter() - t0))
+        it.close()
+        return {
+            "windows": windows,
+            "stats": it.stats,
+            "edges_per_batch": feeder.edges_fed / max(n, 1),
+            "bytes_per_batch": feeder.bytes_fed / max(n, 1),
+            "starved_dur": feeder.starved_dur,
+            "starved_occasions": feeder.starved_occasions,
+        }
 
-    spec = trainer.train_spec
-    tight_frac = it.stats.tight_batches / max(it.stats.batches, 1)
-    n_batches = max(it.stats.batches, 1)
-    edges_per_batch = feeder.edges_fed / max(n, 1)
-    bytes_per_batch = feeder.bytes_fed / max(n, 1)
+    sync_win = int(os.environ.get("BENCH_SYNC", 2))
+    # Bounded campaign retry on the chip-degraded signature (round-4
+    # postmortem, VERDICT r4 #1): windows far below the live roofline
+    # while (a) the gather probe measured a healthy chip and (b) the
+    # windows' H2D demand was far below the link's measured burst credit
+    # means the CHIP (or tunnel execution path) was sick during the
+    # windows — not this code and not H2D throttling. Rest (the platform
+    # recovers after ~5 min idle, PERF_NOTES) and re-measure, like
+    # _await_h2d_credit already does for a drained link.
+    max_attempts = int(os.environ.get("BENCH_CAMPAIGN_ATTEMPTS", 3))
+    degraded_frac = float(os.environ.get("BENCH_DEGRADED_FRAC", 0.25))
+    campaign_rest_s = float(os.environ.get("BENCH_CAMPAIGN_REST_S", 240))
 
     # --- gather-roofline (the "speed-of-light is checkable" statement) ---
     # The step is bound by XLA's unsorted row gathers (full-tile-read
@@ -261,7 +301,9 @@ def main():
     # structure (SAGE/SAGEClassic/GIN/SAGEResInception/JKNet — gathers
     # dominate; GIN/JKNet add dense/BN row-ops on top, so their ceiling is
     # slightly optimistic). GAT is approximate, modeling the scatter-free
-    # custom-VJP path (ops/gat_agg.py, every hop mirrored): per hop the
+    # custom-VJP path (ops/gat_agg.py, every hop mirrored — since r5 both
+    # the single-chip Trainer AND DistributedTrainer set mirror_all, so
+    # the model applies to either path): per hop the
     # fwd pays the message gather (E) + two thin logit gathers (2E — thin
     # rows cost a full tile read like wide ones), the bwd pays g[mdst] +
     # xs[msrc] + the fused target-stats gather + a_src[msrc] (4E); MXU
@@ -284,6 +326,57 @@ def main():
     ROOFLINE_MODELS = {"SAGE": "exact", "SAGEClassic": "exact",
                        "GIN": "exact", "SAGEResInception": "exact",
                        "JKNet": "exact", "GAT": "approx", "GCN": "approx"}
+
+    def provisional_roofline(camp, g_ns):
+        ts = camp["stats"]
+        tf = ts.tight_batches / max(ts.batches, 1)
+        rows = gather_rows(spec)
+        if trainer.train_tight is not None:
+            rows = (tf * gather_rows(trainer.train_tight)
+                    + (1 - tf) * rows)
+        return camp["edges_per_batch"] / (rows * g_ns * 1e-9), rows
+
+    spec = trainer.train_spec
+    campaigns = [run_campaign(0, warmup)]
+    chip_state = "unknown"
+    while True:
+        camp = campaigns[-1]
+        if ROOFLINE_MODELS.get(model_name) is None \
+                or gather_pre_src != "measured" or h2d_burst is None:
+            break  # no live evidence to attribute a slow campaign with
+        roof, _ = provisional_roofline(camp, gather_pre)
+        frac = max(camp["windows"]) / roof
+        h2d_need = max(camp["windows"]) / max(
+            camp["edges_per_batch"], 1) * camp["bytes_per_batch"] / 1e6
+        chip_state = chip_state_verdict(frac, h2d_need, h2d_burst,
+                                        degraded_frac)
+        if chip_state != "degraded" or len(campaigns) >= max_attempts:
+            break
+        print(f"bench: DEGRADED-CHIP signature (roofline_frac "
+              f"{frac:.3f} < {degraded_frac} with healthy gather probe "
+              f"{gather_pre:.1f} ns/row and h2d demand {h2d_need:.0f} "
+              f"<< burst {h2d_burst:.0f} MB/s) — resting "
+              f"{campaign_rest_s:.0f}s, attempt "
+              f"{len(campaigns) + 1}/{max_attempts}",
+              file=sys.stderr, flush=True)
+        time.sleep(campaign_rest_s)
+        # retry campaigns keep a shorter warmup: programs are compiled,
+        # only the chip's execution steady-state needs re-establishing
+        campaigns.append(run_campaign(len(campaigns), min(warmup, 24)))
+
+    # report the best attempt (chip-state variance: the best campaign is
+    # the honest steady-state capability; every attempt's windows stay
+    # in the JSON as evidence)
+    best = max(campaigns, key=lambda c: max(c["windows"]))
+    windows = best["windows"]
+    eps = max(windows)
+
+    it_stats = best["stats"]
+    tight_frac = it_stats.tight_batches / max(it_stats.batches, 1)
+    n_batches = max(it_stats.batches, 1)
+    edges_per_batch = best["edges_per_batch"]
+    bytes_per_batch = best["bytes_per_batch"]
+
     rows_step = gather_rows(spec)
     if trainer.train_tight is not None:
         rows_step = (tight_frac * gather_rows(trainer.train_tight)
@@ -308,18 +401,65 @@ def main():
     h2d_required = [w / max(edges_per_batch, 1) * bytes_per_batch / 1e6
                     for w in windows]
 
+    # Same-process back-to-back micro-timing cross-check (PERF_NOTES r4
+    # zoo note: "before believing any cross-arch cliff from a single
+    # bench run, cross-check ... a back-to-back micro timing in one
+    # process" — used manually to debunk the 1.4M JKNet 'cliff'; now part
+    # of the bench). M chained steps on ONE device-resident batch,
+    # dependency-linked through the donated train state (inputs differ
+    # every call, so the tunnel's identical-execution cache cannot
+    # shortcut it), timed at two chain lengths with the slope taken. No
+    # feeder/H2D in the loop: micro-vs-window disagreement isolates
+    # feed/link trouble from genuine chip slowness.
+    micro_ms = micro_eps = None
+    if os.environ.get("BENCH_MICROSTEP", "1") != "0":
+        try:
+            bufs = BatchBuffers(trainer.train_spec)
+            bufs.attach_from_config(
+                scfg, trainer.train_sampler.num_nodes,
+                pack_node_caps=trainer.train_spec.node_caps)
+            trainer.native.sample_into(
+                bufs, np.sort(idx[: trainer.train_spec.seed_cap]),
+                rng_seed=2, y_global=np.asarray(g.y, np.int32))
+            bufs.finalize_from_config(scfg)
+            pb = bufs.to_padded_batch()
+            micro_edges = pb.num_real_edges()
+            mb = trainer._pre_step(jax.device_put(
+                jax.tree_util.tree_map(np.array, pb), trainer.device))
+
+            def chain(m):
+                t0 = time.perf_counter()
+                mloss = None
+                for _ in range(m):
+                    trainer.state, mloss = trainer.train_step(
+                        trainer.state, trainer.features, mb)
+                jax.block_until_ready(mloss)
+                return time.perf_counter() - t0
+
+            chain(2)  # re-warm execution path
+            m1, m2 = 3, 9
+            micro_ms = max((chain(m2) - chain(m1)) / (m2 - m1), 1e-6) * 1e3
+            micro_eps = micro_edges / (micro_ms * 1e-3)
+            print(f"bench: microstep {micro_ms:.2f} ms/step "
+                  f"({micro_eps / 1e6:.1f}M e/s equivalent)",
+                  file=sys.stderr, flush=True)
+        except Exception as e:
+            print(f"WARNING: microstep cross-check failed "
+                  f"({type(e).__name__}: {str(e)[:200]})", file=sys.stderr)
+
     print(f"windows(M/s)={[round(w / 1e6, 2) for w in windows]} "
-          f"feeder_starved={feeder.starved_dur:.2f}s/"
-          f"{feeder.starved_occasions} "
-          f"sampler_blocked={it.stats.total_blocked_dur:.2f}s "
-          f"sample_time={it.stats.sample_time:.1f}s "
+          f"chip_state={chip_state} attempts={len(campaigns)} "
+          f"feeder_starved={best['starved_dur']:.2f}s/"
+          f"{best['starved_occasions']} "
+          f"sampler_blocked={it_stats.total_blocked_dur:.2f}s "
+          f"sample_time={it_stats.sample_time:.1f}s "
           f"bytes/batch={bytes_per_batch / 1e6:.2f}MB "
           f"gather={gather_ns:.1f}ns/row({gather_src}) "
           f"roofline="
           f"{roofline_eps / 1e6 if roofline_eps is not None else -1:.1f}"
           f"M e/s "
-          f"pad_waste_nodes={it.stats.node_waste(spec.total_node_cap):.3f} "
-          f"pad_waste_edges={it.stats.edge_waste(sum(spec.edge_caps)):.3f} "
+          f"pad_waste_nodes={it_stats.node_waste(spec.total_node_cap):.3f} "
+          f"pad_waste_edges={it_stats.edge_waste(sum(spec.edge_caps)):.3f} "
           f"tight_frac={tight_frac:.3f}",
           file=sys.stderr)
     print(json.dumps({
@@ -334,6 +474,21 @@ def main():
         "window_min": round(min(windows), 1),
         "window_median": round(float(np.median(windows)), 1),
         "vs_baseline_min": round(min(windows) / BASELINE_EDGES_PER_S, 4),
+        # degraded-chip defense (round-4 postmortem): campaign-level
+        # verdict from the provisional roofline + probe + h2d evidence.
+        # "degraded" after max attempts = the number below is still a
+        # sick-chip capture and a reader must adjudicate with the
+        # windows_all_attempts / probe / h2d / microstep trail.
+        "chip_state": chip_state,
+        "campaign_attempts": len(campaigns),
+        "windows_all_attempts": [
+            [round(w, 1) for w in c["windows"]] for c in campaigns],
+        # back-to-back same-process step timing (no feeder/H2D in loop):
+        # fast micro + slow windows = feed/link/transient, not the step
+        "microstep_ms": (round(micro_ms, 3)
+                         if micro_ms is not None else None),
+        "microstep_edges_per_s": (round(micro_eps, 1)
+                                  if micro_eps is not None else None),
         # fraction of the gather-bound ceiling at the LIVE-measured
         # per-row gather cost (~1 = at speed-of-light for this step
         # formulation, on this chip, right now)
@@ -368,7 +523,7 @@ def main():
         # the shipped cold buffer's share of the H2D wire (the buffer is
         # the static cold_cap — padded rows ship too)
         "cold_rows_per_batch": round(
-            it.stats.cold_rows / n_batches, 1),
+            it_stats.cold_rows / n_batches, 1),
         # static cold-buffer share of the H2D wire; None with the cache on
         # (shipped miss buffers are bucketed — bytes_per_batch is the
         # measured truth there)
@@ -390,8 +545,8 @@ def main():
             / max(trainer._cold_cache.hits + trainer._cold_cache.misses, 1),
             4) if trainer._cold_cache is not None else None),
         "hbm_table_rows": int(trainer.features.shape[0]),
-        "pad_waste_nodes": round(it.stats.node_waste(spec.total_node_cap), 4),
-        "pad_waste_edges": round(it.stats.edge_waste(sum(spec.edge_caps)), 4),
+        "pad_waste_nodes": round(it_stats.node_waste(spec.total_node_cap), 4),
+        "pad_waste_edges": round(it_stats.edge_waste(sum(spec.edge_caps)), 4),
         "tight_frac": round(tight_frac, 4),
     }))
 
