@@ -123,10 +123,20 @@ def main():
     hbm_fraction = float(os.environ.get("BENCH_HBM_FRACTION", 1.0))
     cold_fp8 = os.environ.get("BENCH_COLD_FP8", "0") == "1"
     # device cold-row cache slots (0 = off). Accepts an absolute slot
-    # count or a fraction of the cold tail (e.g. "0.5").
-    cc_env = float(os.environ.get("BENCH_COLD_CACHE", 0))
-    cold_cache_slots = (int(cc_env * num_nodes * (1 - hbm_fraction))
-                        if 0 < cc_env < 1 else int(cc_env))
+    # count, a fraction of the cold tail (e.g. "0.5"), or "auto" — the
+    # H2D-credit policy (train/cold_policy.py) decides on/off and size
+    # from the measured link credit (BENCH_H2D_CREDIT simulates a credit
+    # regime for policy demonstrations; default = the live preflight
+    # burst via cfg.h2d_credit_mbs=None).
+    cc_raw = os.environ.get("BENCH_COLD_CACHE", "0")
+    if cc_raw == "auto":
+        cold_cache_slots = -1
+    else:
+        cc_env = float(cc_raw)
+        cold_cache_slots = (int(cc_env * num_nodes * (1 - hbm_fraction))
+                            if 0 < cc_env < 1 else int(cc_env))
+    h2d_credit_env = os.environ.get("BENCH_H2D_CREDIT")
+    cold_fold = os.environ.get("BENCH_COLD_FOLD", "0") == "1"
 
     g = synthetic.powerlaw_graph(
         name="bench-products", num_nodes=num_nodes, avg_degree=15,
@@ -164,6 +174,9 @@ def main():
         hbm_fraction=hbm_fraction,
         cold_fp8=cold_fp8,
         cold_cache_slots=cold_cache_slots,
+        h2d_credit_mbs=(float(h2d_credit_env) if h2d_credit_env
+                        else None),
+        cold_fold_update=cold_fold,
     )
     trainer = Trainer(cfg, g)
     import sys
@@ -192,14 +205,15 @@ def main():
             bufs, np.sort(idx[: spec.seed_cap]), rng_seed=1,
             y_global=np.asarray(g.y, np.int32))
         bufs.finalize_from_config(scfg)
+        if scfg.cold_cache is not None:
+            # cache mode defers cold assembly to the consumer; warm-up
+            # batches must be production-shaped (fold mode's step
+            # treedef carries the miss buffers)
+            bufs.finalize_cached(scfg)
         warm = jax.device_put(
             jax.tree_util.tree_map(np.array, bufs.to_padded_batch()),
             trainer.device)
-        # the step donates the state buffers — keep the returned state
-        warm = trainer._pre_step(warm)
-        trainer.state, wloss = trainer.train_step(
-            trainer.state, trainer.features, warm)
-        jax.block_until_ready(wloss)
+        jax.block_until_ready(trainer.run_step(warm))
 
     import sys
 
@@ -247,10 +261,7 @@ def main():
                           file=sys.stderr, flush=True)
                 t0 = now
                 e_mark = feeder.edges_fed
-            batch = trainer._pre_step(batch)
-            trainer.state, loss = trainer.train_step(
-                trainer.state, trainer.features, batch)
-            sync_q.append(loss)
+            sync_q.append(trainer.run_step(batch))
             if len(sync_q) > sync_win:
                 jax.block_until_ready(sync_q.popleft())
             n += 1
@@ -300,24 +311,31 @@ def main():
     # per step at CAPACITY shapes). Exact for the SAGE aggregation
     # structure (SAGE/SAGEClassic/GIN/SAGEResInception/JKNet — gathers
     # dominate; GIN/JKNet add dense/BN row-ops on top, so their ceiling is
-    # slightly optimistic). GAT is approximate, modeling the scatter-free
-    # custom-VJP path (ops/gat_agg.py, every hop mirrored — since r5 both
-    # the single-chip Trainer AND DistributedTrainer set mirror_all, so
-    # the model applies to either path): per hop the
-    # fwd pays the message gather (E) + two thin logit gathers (2E — thin
-    # rows cost a full tile read like wide ones), the bwd pays g[mdst] +
-    # xs[msrc] + the fused target-stats gather + a_src[msrc] (4E); MXU
-    # segment kernels add ~2 ns/edge on top.
+    # slightly optimistic). GAT is approximate: the DEFAULT autodiff
+    # attention path pays per hop the msg gather (E) + two thin logit
+    # gathers (2E — thin rows cost a full tile read like wide ones) in
+    # the fwd and ~one gather + the unsorted d_xs scatter (≈1 row-op,
+    # measured cheap in the r5 A/B) in the bwd → N + 4E. The opt-in
+    # custom-VJP path (SPTPU_GAT_CUSTOM_VJP=1, every hop mirrored;
+    # measured 2.6x SLOWER — experiments/gat_bwd_diag.py) pays 7
+    # row-ops/edge; MXU segment kernels add ~2 ns/edge on top.
     def gather_rows(s):
         L = s.num_hops
         inner = sum(s.edge_caps[: L - 1])
         total_e = sum(s.edge_caps)
         if model_name == "GAT":
-            return s.total_node_cap + 7 * total_e
+            from salient_plusplus_tpu.ops.gat_agg import \
+                gat_custom_agg_enabled
+
+            return s.total_node_cap + (
+                7 if gat_custom_agg_enabled() else 4) * total_e
         if model_name == "GCN":
-            # frontier gather + fwd msg gather + mirror bwd gather per
-            # hop (mirror_all: the outer hop's projected-input backward
-            # rides the transposed-CSR kernel too)
+            # EXACT for the aggregation structure (same caveat class as
+            # GIN's dense row-ops): frontier gather (N) + per hop the
+            # fwd msg gather (E) and the bwd mirror gather (E) —
+            # mirror_all puts the outer hop's projected-input backward
+            # on the transposed-CSR kernel too, so no scatter remains;
+            # the dense xW fwd/bwd are MXU matmuls, not row ops
             return s.total_node_cap + 2 * total_e
         if trainer.global_msg0:
             return s.node_caps[L - 1] + s.edge_caps[L - 1] + 2 * inner
@@ -325,7 +343,7 @@ def main():
 
     ROOFLINE_MODELS = {"SAGE": "exact", "SAGEClassic": "exact",
                        "GIN": "exact", "SAGEResInception": "exact",
-                       "JKNet": "exact", "GAT": "approx", "GCN": "approx"}
+                       "JKNet": "exact", "GAT": "approx", "GCN": "exact"}
 
     def provisional_roofline(camp, g_ns):
         ts = camp["stats"]
@@ -422,17 +440,18 @@ def main():
                 bufs, np.sort(idx[: trainer.train_spec.seed_cap]),
                 rng_seed=2, y_global=np.asarray(g.y, np.int32))
             bufs.finalize_from_config(scfg)
+            if scfg.cold_cache is not None:
+                bufs.finalize_cached(scfg)
             pb = bufs.to_padded_batch()
             micro_edges = pb.num_real_edges()
-            mb = trainer._pre_step(jax.device_put(
-                jax.tree_util.tree_map(np.array, pb), trainer.device))
+            mb = jax.device_put(
+                jax.tree_util.tree_map(np.array, pb), trainer.device)
 
             def chain(m):
                 t0 = time.perf_counter()
                 mloss = None
                 for _ in range(m):
-                    trainer.state, mloss = trainer.train_step(
-                        trainer.state, trainer.features, mb)
+                    mloss = trainer.run_step(mb)
                 jax.block_until_ready(mloss)
                 return time.perf_counter() - t0
 
@@ -480,6 +499,19 @@ def main():
         # sick-chip capture and a reader must adjudicate with the
         # windows_all_attempts / probe / h2d / microstep trail.
         "chip_state": chip_state,
+        # microstep cross-check interpretation: if the same-process
+        # back-to-back step time agrees with the windows, the STEP is
+        # genuinely that slow (program-bound, or a roofline-model gap —
+        # exactly how the r5 GAT custom-VJP regression was caught);
+        # microstep >> windows would mean feed/link, not the program
+        "chip_state_note": (
+            ("microstep agrees with windows — the step itself is slow "
+             "(program-bound or roofline-model gap), not a feed/link "
+             "artifact" if micro_eps < 2 * eps else
+             "microstep far faster than windows — the windows were "
+             "feed/link-limited, the step is healthy")
+            if micro_eps is not None and chip_state == "degraded"
+            else None),
         "campaign_attempts": len(campaigns),
         "windows_all_attempts": [
             [round(w, 1) for w in c["windows"]] for c in campaigns],
@@ -497,6 +529,17 @@ def main():
         "roofline_frac":
             round(eps / roofline_eps, 4)
             if roofline_eps is not None else None,
+        # frac > 1 is physically impossible against a correct ceiling:
+        # it means the probe measured a different chip state than the
+        # windows ran under (round-3/4 postmortems) — never let it into
+        # the record without its annotation
+        "roofline_note": (
+            "frac>1: probe and windows saw different chip states "
+            f"(pre {gather_pre if np.isfinite(gather_pre) else None} / "
+            f"post {round(gather_post, 2)} ns/row); windows effectively "
+            "gathered faster than the probed ceiling"
+            if roofline_eps is not None and eps / roofline_eps > 1.0
+            else None),
         "gather_ns_per_row": round(gather_ns, 2),
         "gather_ns_source": gather_src,
         # both probe sides (pre = fresh chip, post = after sustained load;
@@ -540,6 +583,15 @@ def main():
         # accounting is hbm_table_rows — hot prefix + cache slack.
         "cold_cache_slots": (trainer._cold_cache.slots
                              if trainer._cold_cache is not None else 0),
+        # H2D-credit policy decision trail (BENCH_COLD_CACHE=auto)
+        "cold_cache_plan": (
+            {"slots": trainer.cold_plan.slots,
+             "projected_demand_mbs": trainer.cold_plan.projected_demand_mbs,
+             "residual_demand_mbs": trainer.cold_plan.residual_demand_mbs,
+             "credit_mbs": round(trainer.cold_plan.credit_mbs, 1),
+             "reason": trainer.cold_plan.reason}
+            if getattr(trainer, "cold_plan", None) is not None else None),
+        "cold_fold_update": cold_fold,
         "cold_cache_hit_rate": (round(
             trainer._cold_cache.hits
             / max(trainer._cold_cache.hits + trainer._cold_cache.misses, 1),

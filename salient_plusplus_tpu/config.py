@@ -131,7 +131,24 @@ class RunConfig:
     # item #1: consecutive batches re-fetch overlapping cold rows). 0
     # disables (per-batch slack, no reuse). Requires the FastSampler
     # train path (slot assignment runs at consumption time).
+    # -1 = AUTO: size from the measured H2D credit at trainer build time
+    # (train/cold_policy.py — enable only when the projected no-cache
+    # demand exceeds the link credit; 0 slots on healthy links, where
+    # the cache measurably loses). Round-4 review: "a knob is not a
+    # policy".
     cold_cache_slots: int = 0
+    # AUTO policy inputs: the measured link credit (None = probe it live
+    # at trainer build, train/cold_policy.measure_h2d_credit) and the
+    # assumed chip-bound rate used to project H2D demand (default: the
+    # 45M e/s baseline anchor — conservative for this chip)
+    h2d_credit_mbs: Optional[float] = None
+    assumed_chip_rate_eps: float = 45e6
+    # fold the cache's slack update into the train step at the top miss
+    # rung only (PERF_NOTES r4 finding 5): every batch ships the full
+    # cold_cap miss buffer (no rung ladder → one treedef, no separate
+    # updater dispatch per batch); costs ~8% more H2D bytes at 50% hit.
+    # For wire+dispatch-latency-bound deployments.
+    cold_fold_update: bool = False
     # fp8 (e4m3) host cold tier: the >HBM tail is pre-encoded once on the
     # host (uint8 payload + per-row f32 scale) and decoded on device —
     # ~1.94x fewer H2D bytes for the dominant >HBM payload (measured 88%
@@ -180,21 +197,30 @@ class RunConfig:
                 "cold_fp8=True has no effect with hbm_fraction=1.0 "
                 "(no host cold tier exists to encode) — set "
                 "hbm_fraction<1 or drop cold_fp8")
-        if self.cold_cache_slots > 0:
+        if self.cold_cache_slots < -1:
+            raise ValueError(
+                f"cold_cache_slots={self.cold_cache_slots}: expected "
+                "-1 (auto), 0 (off) or a positive slot count")
+        if self.cold_cache_slots > 0 or self.cold_cache_slots == -1:
+            what = ("cold_cache_slots=-1 (auto)"
+                    if self.cold_cache_slots == -1 else "cold_cache_slots>0")
             if self.hbm_fraction >= 1.0:
                 raise ValueError(
-                    "cold_cache_slots>0 needs a cold tier "
-                    "(hbm_fraction<1)")
+                    f"{what} needs a cold tier (hbm_fraction<1)")
             if self.train_sampler != "FastSampler":
                 raise ValueError(
-                    "cold_cache_slots>0 requires train_sampler="
+                    f"{what} requires train_sampler="
                     "FastSampler (cache slot assignment runs in the "
                     "streaming consumer; the presampled/oracle paths "
                     "have no ordered consumption hook)")
             if self.gsrc_mode == "off":
                 raise ValueError(
-                    "cold_cache_slots>0 requires gsrc_mode=auto (the "
+                    f"{what} requires gsrc_mode=auto (the "
                     "cache lives in the gsrc slack region)")
+        if self.cold_fold_update and self.hbm_fraction >= 1.0:
+            raise ValueError(
+                "cold_fold_update=True has no effect without a cold "
+                "tier (hbm_fraction<1)")
 
     @property
     def effective_patience(self) -> int:
@@ -234,6 +260,8 @@ class RunConfig:
                 parser.add_argument(f"--{f.name}", type=boolean)
             elif f.type in ("Optional[int]", Optional[int]):
                 parser.add_argument(f"--{f.name}", type=int)
+            elif f.type in ("Optional[float]", Optional[float]):
+                parser.add_argument(f"--{f.name}", type=float)
             elif f.type in ("Optional[str]", Optional[str]):
                 parser.add_argument(f"--{f.name}", type=str)
             else:

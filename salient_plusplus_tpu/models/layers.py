@@ -106,12 +106,17 @@ class GATConv(nn.Module):
                            (1, H, C), self.param_dtype).astype(self.dtype)
         alpha_src = (xs * a_src).sum(-1)            # [N_in, H]
         alpha_dst = (xt * a_dst).sum(-1)            # [N_out, H]
+        from ..ops.gat_agg import gat_custom_agg_enabled
+
         if (self.add_self_loops and mxu_spmm_enabled()
+                and gat_custom_agg_enabled()
                 and getattr(edge, "msrc", None) is not None):
-            # scatter-free fwd AND bwd: attention recomputed in mirror
-            # order from per-target (max, denom) residuals
-            # (ops/gat_agg.py) — the autodiff path below scatter-adds
-            # d_xs over unsorted src
+            # OPT-IN (SPTPU_GAT_CUSTOM_VJP=1): scatter-free fwd AND bwd,
+            # attention recomputed in mirror order from per-target
+            # (max, denom) residuals (ops/gat_agg.py). Measured SLOWER
+            # than the autodiff path below on real v5e (2.6x at the
+            # outer hop — see gat_custom_agg_enabled); default is the
+            # autodiff backward despite its unsorted d_xs scatter.
             from ..ops.gat_agg import gat_attention_agg
 
             out = gat_attention_agg(

@@ -41,6 +41,22 @@ from . import mxu_segment
 from .segment import masked_segment_sum, segment_softmax_self, valid_mask
 
 
+def gat_custom_agg_enabled() -> bool:
+    """Gate for the custom-VJP attention block. DEFAULT OFF: the round-5
+    on-chip A/B (experiments/gat_bwd_diag.py, real v5e) measured the
+    autodiff path at 42.2 ms fwd+bwd vs 109.2 ms for this backward at the
+    outer-hop shape (N=560k, T=66k, E=660k; mid hop 6.4 vs 14.6 ms) — the
+    'scatter-free' reformulation LOSES ~2.6x: its five per-edge gathers
+    each cost a full (8,128) tile read (~9.7 ns/row), while XLA's
+    unsorted scatter-add in the autodiff backward is far cheaper than the
+    round-1 scatter folklore predicted (~10 ms for the whole outer-hop
+    backward). Kept as an opt-in (SPTPU_GAT_CUSTOM_VJP=1) with its parity
+    tests — a recorded negative result, not a deletion."""
+    import os
+
+    return os.environ.get("SPTPU_GAT_CUSTOM_VJP", "") == "1"
+
+
 def _lrelu(x, ns):
     return jnp.where(x > 0, x, ns * x)
 

@@ -114,25 +114,31 @@ class BatchSpec:
         return cls(tuple(fanouts), batch_size, tuple(node_caps), tuple(edge_caps))
 
 
-# Models that differentiate a PROJECTION of the raw input: GAT (w_src·x),
-# GCN/ARMA (x·W aggregated) need layer-0 d_x, so their specs emit the
-# outermost hop's src-sorted mirror too (scatter-free backward over the
-# largest hop). SAGE-family models never need it (their layer-0 input
-# carries no gradient through the aggregation's src side).
-MIRROR_ALL_MODELS = ("GAT", "GCN", "ARMA")
+# Models that differentiate a PROJECTION of the raw input: GCN/ARMA
+# (x·W aggregated) need layer-0 d_x, so their specs emit the outermost
+# hop's src-sorted mirror too (mirror-backed backward over the largest
+# hop). SAGE-family models never need it (their layer-0 input carries no
+# gradient through the aggregation's src side). GAT consumes mirrors
+# only under the opt-in custom-VJP attention block
+# (ops/gat_agg.gat_custom_agg_enabled — measured slower than autodiff on
+# v5e, default off), so its specs stay mirror-free by default.
+MIRROR_ALL_MODELS = ("GCN", "ARMA")
 
 
 def mirror_all_specs(model_name: str, spec: "BatchSpec",
                      tight: "BatchSpec" = None):
     """Apply the model-dependent ``mirror_all`` flag to a calibrated
     (spec, tight) pair — shared by the single-chip Trainer and the SPMD
-    DistributedTrainer so the scatter-free layer-0 backward runs on both
+    DistributedTrainer so the mirror-backed layer-0 backward runs on both
     paths (the reference's models are identical under DDP,
     driver/drivers/ddp.py:344-351). Mutually exclusive with gsrc mode,
     which only SAGE-family models enable (sampling/cpp.py asserts)."""
     import dataclasses
 
-    if model_name in MIRROR_ALL_MODELS:
+    from ..ops.gat_agg import gat_custom_agg_enabled
+
+    if model_name in MIRROR_ALL_MODELS or (
+            model_name == "GAT" and gat_custom_agg_enabled()):
         spec = dataclasses.replace(spec, mirror_all=True)
         if tight is not None:
             tight = dataclasses.replace(tight, mirror_all=True)

@@ -372,7 +372,10 @@ class BatchBuffers:
             H + np.where(slot >= 0, slot, cache.slots)).astype(np.int32)
         m = np.flatnonzero(miss)
         cnt = len(m)
-        rung = miss_rung(cnt, cfg.cold_cap)
+        # fold mode: always the top rung — the step program applies the
+        # update itself and must see ONE static miss-buffer shape
+        rung = (cfg.cold_cap if getattr(cfg, "cold_fold", False)
+                else miss_rung(cnt, cfg.cold_cap))
         F = cfg.x_cold.shape[1]
         self.cold_rows = np.zeros((rung, F), cfg.x_cold.dtype)
         # pad positions are far past any table row → scatter-dropped

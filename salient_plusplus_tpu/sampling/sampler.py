@@ -117,6 +117,10 @@ class FastSamplerConfig:
     # and only miss rows ride H2D. cold_cap doubles as the per-batch miss
     # budget / top miss-bucket size.
     cold_cache: Optional[object] = None
+    # fold mode (cold_fold_update): miss buffers always ship at the TOP
+    # rung (cold_cap) — no /2 rung ladder — so the train step, which
+    # applies the cache update itself, compiles exactly one treedef
+    cold_fold: bool = False
     # owner-served cold tier: classify cold rows into per-owner request
     # slots instead of gathering from a host-replicated tail (rows are
     # fetched via the pre-step cold all_to_all, train/dist_loop.py)

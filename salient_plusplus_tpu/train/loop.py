@@ -204,22 +204,6 @@ class Trainer:
         self._cold_update_fn = None
         self._cache_update_fn = None
         self._slack = 0
-        # persistent device cold-row cache in the slack region: only MISS
-        # rows ride H2D per batch (round-3 review item #1 — cross-batch
-        # dedup of the >HBM wire); +1 slack row = the permanent zero row
-        # dropped ids point at
-        self._cold_cache = None
-        if cfg.cold_cache_slots > 0:
-            if not self._gsrc_cold:
-                raise ValueError(
-                    "cold_cache_slots>0 requires a gsrc-capable model "
-                    "(SAGE/SAGEClassic/GIN) — the cache lives in the "
-                    "gsrc slack region")
-            from ..sampling.cold_cache import HostColdCache
-
-            self._cold_cache = HostColdCache(
-                V - self.hot_cutoff,
-                max(cfg.cold_cache_slots, cold_cap))
         # ship uint8 per-target degrees instead of int32 dst (wire cut)
         self.compress_dst = all(0 < f <= 127 for f in cfg.train_fanouts)
         # wire-pack int32 index arrays (2-3 bytes/elem); with gsrc the
@@ -228,6 +212,37 @@ class Trainer:
         self.pack_wire = (cfg.pack_wire
                           and (not self.global_msg0 or V < 2**24 - 256)
                           and self.train_spec.total_node_cap < 2**24)
+        # persistent device cold-row cache in the slack region: only MISS
+        # rows ride H2D per batch (round-3 review item #1 — cross-batch
+        # dedup of the >HBM wire); +1 slack row = the permanent zero row
+        # dropped ids point at. cold_cache_slots == -1: decide on/off and
+        # slot count from the measured H2D credit (round-4 review #5 —
+        # "a knob is not a policy"; the cache WINS only when the link
+        # credit is below the projected no-cache demand).
+        self._cold_cache = None
+        self.cold_plan = None
+        slots = cfg.cold_cache_slots
+        if slots != 0:
+            if not self._gsrc_cold:
+                raise ValueError(
+                    "cold_cache_slots requires a gsrc-capable model "
+                    "(SAGE/SAGEClassic/GIN) — the cache lives in the "
+                    "gsrc slack region")
+            if slots == -1:
+                slots = self._plan_cold_cache(train_idx, cold_cap, V)
+        if slots > 0:
+            from ..sampling.cold_cache import HostColdCache
+
+            self._cold_cache = HostColdCache(
+                V - self.hot_cutoff, max(slots, cold_cap))
+        # fold the cold tier's slack update into the train step
+        # (PERF_NOTES r4 finding 5). Cache mode: top-rung-only miss
+        # buffers — one treedef, no per-batch updater dispatch. Plain
+        # gsrc-cold mode: the _cold_update dynamic_update_slice moves
+        # inside the step — same dispatch saving, no byte cost.
+        self._fold_cold = (cfg.cold_fold_update and
+                           (self._cold_cache is not None
+                            or self._gsrc_cold))
         self.train_sampler = FastSampler(
             self.native.rowptr, self.native.col,
             np.asarray(graph.y, np.int32),
@@ -238,6 +253,7 @@ class Trainer:
                 hot_cutoff=self.hot_cutoff, x_cold=self.x_cold,
                 x_cold_scale=self.x_cold_scale,
                 cold_cap=cold_cap, cold_cache=self._cold_cache,
+                cold_fold=self._fold_cold,
                 emit_gsrc=self.global_msg0,
                 compress_dst=self.compress_dst,
                 pack_wire=self.pack_wire,
@@ -256,10 +272,64 @@ class Trainer:
         self.model = make_model(
             cfg.model_name, graph.num_features, cfg.hidden_features,
             graph.num_classes, cfg.num_layers, cfg.dropout)
-        self.train_step = make_train_step(global_msg0=self.global_msg0)
+        self.train_step = make_train_step(
+            global_msg0=self.global_msg0, fold_cold=self._fold_cold,
+            fold_slack_at=(self.hot_cutoff
+                           if (self._fold_cold
+                               and self._cold_cache is None) else None))
         self.eval_step = make_eval_step(global_msg0=self.global_msg0)
         self.state: Optional[TrainState] = None
         self.reset()
+
+    def _plan_cold_cache(self, train_idx, cold_cap: int, V: int) -> int:
+        """cold_cache_slots == -1: compute the slot count from the
+        measured H2D credit (train/cold_policy.py). Samples ONE probe
+        batch through the production wire format to measure the real
+        per-batch payload split (base vs cold), then sizes slots so the
+        projected residual demand fits the credit. Returns 0 (cache off)
+        on healthy links — where the cache measurably loses."""
+        from ..sampling.cpp import BatchBuffers
+        from .cold_policy import (
+            estimate_batch_bytes, measure_h2d_credit, plan_cold_cache)
+
+        cfg = self.cfg
+        credit = cfg.h2d_credit_mbs
+        if credit is None:
+            credit = measure_h2d_credit(self.device)
+        if credit is None:  # CPU backend: no link to be bound by
+            self.logger.log("COLD_CACHE_PLAN", "cpu-backend", 0)
+            return 0
+        probe_cfg = FastSamplerConfig(
+            spec=self.train_spec, batch_size=cfg.train_batch_size,
+            base_seed=cfg.seed, num_workers=1,
+            hot_cutoff=self.hot_cutoff, x_cold=self.x_cold,
+            x_cold_scale=self.x_cold_scale, cold_cap=cold_cap,
+            emit_gsrc=self.global_msg0, compress_dst=self.compress_dst,
+            pack_wire=self.pack_wire)
+        bufs = BatchBuffers(self.train_spec)
+        bufs.attach_from_config(probe_cfg, V)
+        self.native.sample_into(
+            bufs, np.sort(np.asarray(train_idx)[: self.train_spec.seed_cap]),
+            rng_seed=41, y_global=None)
+        bufs.finalize_from_config(probe_cfg)
+        pb = bufs.to_padded_batch()
+        total = estimate_batch_bytes(pb)
+        cold_bytes = (bufs.cold_rows.nbytes + bufs.cold_pos.nbytes
+                      + (bufs.cold_scale.nbytes
+                         if bufs.cold_scale is not None else 0))
+        plan = plan_cold_cache(
+            credit, cfg.assumed_chip_rate_eps,
+            edges_per_batch=max(pb.num_real_edges(), 1),
+            base_bytes_per_batch=max(total - cold_bytes, 0),
+            cold_bytes_per_batch=cold_bytes,
+            cold_tail_rows=V - self.hot_cutoff)
+        self.cold_plan = plan
+        self.logger.log("COLD_CACHE_PLAN", plan.slots,
+                        "demand_mbs", plan.projected_demand_mbs,
+                        "residual_mbs", plan.residual_demand_mbs,
+                        "credit_mbs", round(plan.credit_mbs, 1),
+                        plan.reason)
+        return plan.slots
 
     def _calibrate_cold_cap(self, pool, spec=None, align: int = 128) -> int:
         spec = spec or self.train_spec
@@ -334,16 +404,34 @@ class Trainer:
         return batch.replace(cold_rows=None, cold_pos=None,
                              cold_scale=None, cold_count=None)
 
-    def _pre_step(self, batch):
+    def _pre_step(self, batch, fold: bool = False):
         """Per-batch cold-tier device work, dispatched before the step.
-        No-op for batches without cold payloads (all-HBM, warmup)."""
+        No-op for batches without cold payloads (all-HBM, warmup).
+        ``fold`` (train path under cold_fold_update): the step program
+        applies the cache update itself — ship the batch untouched."""
         if batch.cold_rows is None:
             return batch
+        if fold:
+            return batch  # the folded step applies the update itself
         if self._cold_cache is not None:
             return self._cache_update(batch)
         if self._gsrc_cold:
             self._cold_update(batch)
         return batch
+
+    def run_step(self, batch):
+        """_pre_step + train step under the right calling convention
+        (cold_fold_update's folded step donates AND returns the feature
+        table). The single entry point for every train-batch consumer
+        (epoch loops, bench, warmup)."""
+        batch = self._pre_step(batch, fold=self._fold_cold)
+        if self._fold_cold:
+            self.state, self.features, loss = self.train_step(
+                self.state, self.features, batch)
+        else:
+            self.state, loss = self.train_step(
+                self.state, self.features, batch)
+        return loss
 
     def reset(self, trial_seed: int = 0):
         """Fresh params + optimizer (per-trial reset,
@@ -390,10 +478,7 @@ class Trainer:
                         seed_count=batch.seed_count,
                         edge_counts=[e.count for e in batch.edges])
                 bno += 1
-                batch = self._pre_step(batch)
-                self.state, loss = self.train_step(
-                    self.state, self.features, batch)
-                losses.append(loss)
+                losses.append(self.run_step(batch))
             # drain async dispatch before closing the region
             jax.block_until_ready(self.state.params)
         if profile:
@@ -464,10 +549,7 @@ class Trainer:
                 batch = jax.device_put(
                     jax.tree_util.tree_map(np.array, bufs.to_padded_batch()),
                     self.device)
-                batch = self._pre_step(batch)
-                self.state, loss = self.train_step(
-                    self.state, self.features, batch)
-                losses.append(loss)
+                losses.append(self.run_step(batch))
             jax.block_until_ready(self.state.params)
         self.stats.end_epoch()
         if pre.dropped_cold:
@@ -512,9 +594,7 @@ class Trainer:
                     node_caps=spec.node_caps, edge_caps=spec.edge_caps)
                 batch = jax.device_put(pad_sample(res, spec, y),
                                        self.device)
-                self.state, loss = self.train_step(
-                    self.state, self.features, batch)
-                losses.append(loss)
+                losses.append(self.run_step(batch))
             jax.block_until_ready(self.state.params)
         self.stats.end_epoch()
         mean_loss = float(np.mean(jax.device_get(losses)))

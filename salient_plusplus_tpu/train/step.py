@@ -100,17 +100,48 @@ def masked_nll(logp: jnp.ndarray, y: jnp.ndarray, seed_count) -> jnp.ndarray:
 
 
 def make_train_step(pmean_axis: Optional[str] = None,
-                    global_msg0: bool = False):
+                    global_msg0: bool = False,
+                    fold_cold: bool = False,
+                    fold_slack_at: Optional[int] = None):
     """Build the jitted train step.
 
     With ``pmean_axis`` set the step is shard_map/pmap-ready: grads and loss
     are averaged over that axis (the DDP all-reduce analog,
     driver/drivers/ddp.py:349-351).
+
+    ``fold_cold`` (cold_fold_update, PERF_NOTES r4 finding 5): the cold
+    tier's slack-region update runs INSIDE this program — the feature
+    table is donated and returned alongside the state, killing the
+    separate per-batch updater dispatch (and, in cache mode, its rung
+    treedef split). Cache mode (``fold_slack_at`` None) scatters miss
+    rows to their assigned slots; plain-cold gsrc mode writes the
+    batch's cold buffer contiguously at ``fold_slack_at`` (hot_cutoff) —
+    the folded form of Trainer._cold_update. Callers must use the
+    (state, features, loss) convention (Trainer.run_step).
     """
 
     def train_step(state: TrainState, features: jnp.ndarray,
                    batch: PaddedBatch):
         batch = decode_batch(batch)
+        if fold_cold:
+            rows = batch.cold_rows
+            if batch.cold_scale is not None:
+                from ..parallel.exchange import fp8_decode_rows
+
+                rows = fp8_decode_rows(rows, batch.cold_scale,
+                                       features.dtype)
+            rows = rows.astype(features.dtype)
+            # in-place either way: features is donated
+            if fold_slack_at is not None:
+                features = jax.lax.dynamic_update_slice(
+                    features, rows, (fold_slack_at, 0))
+            else:
+                # miss rows land in their assigned slack slots; pad
+                # positions (2^30) self-drop
+                features = features.at[batch.cold_pos].set(
+                    rows, mode="drop")
+            batch = batch.replace(cold_rows=None, cold_pos=None,
+                                  cold_scale=None, cold_count=None)
         key = jax.random.fold_in(state.dropout_key, state.step)
         if pmean_axis is not None:
             # independent dropout per data-parallel replica (state is
@@ -137,9 +168,13 @@ def make_train_step(pmean_axis: Optional[str] = None,
             loss = jax.lax.pmean(loss, pmean_axis)
             new_stats = jax.lax.pmean(new_stats, pmean_axis)
         state = state.apply_gradients(grads, new_batch_stats=new_stats)
+        if fold_cold:
+            return state, features, loss
         return state, loss
 
     if pmean_axis is None:
+        if fold_cold:
+            return jax.jit(train_step, donate_argnums=(0, 1))
         return jax.jit(train_step, donate_argnums=(0,))
     return train_step  # caller wraps in shard_map/pjit
 

@@ -189,12 +189,14 @@ def test_distributed_cold_tier_equivalent():
         assert tail.shape[0] == S - H
 
 
-def test_distributed_gat(dist_trainer):
-    """Non-SAGE model through the full SPMD path — with the round-4
-    scatter-free backward reaching it: the distributed specs must carry
-    mirror_all and the production batches an OUTER-hop mirror (round-4
-    gap: only the single-chip Trainer set mirror_all, so multichip GAT
-    silently fell back to the unsorted scatter-add layer-0 backward)."""
+def test_distributed_gat(dist_trainer, monkeypatch):
+    """Non-SAGE model through the full SPMD path. With the custom-VJP
+    attention opted in (SPTPU_GAT_CUSTOM_VJP — default off since the r5
+    on-chip A/B measured it slower than autodiff), the distributed specs
+    must carry mirror_all and the production batches an OUTER-hop mirror
+    (round-4 gap: only the single-chip Trainer set mirror_all, so
+    multichip runs silently lost the mirror plumbing)."""
+    monkeypatch.setenv("SPTPU_GAT_CUSTOM_VJP", "1")
     g = synthetic.planted_partition(
         name="gatd", num_nodes=2000, num_classes=4, avg_degree=8,
         num_features=16, seed=12)
@@ -228,12 +230,14 @@ def test_distributed_gat(dist_trainer):
 
 
 @pytest.mark.parametrize("model", ["GAT", "GCN"])
-def test_dist_mirror_backward_matches_scatter_add(model):
-    """SPMD gradients via the scatter-free mirror backward must match the
-    autodiff scatter-add golden: two identically-seeded distributed runs
-    — mirrors on (production) vs forcibly off — produce the same loss
-    trajectory. Same sampled batches (mirror emission never changes the
-    sampled edges), so any divergence is the backward path."""
+def test_dist_mirror_backward_matches_scatter_add(model, monkeypatch):
+    """SPMD training with mirror_all specs (production for GCN/ARMA;
+    env-opt-in for GAT) must match the mirror-free golden: two
+    identically-seeded distributed runs — mirrors on vs forcibly off —
+    produce the same loss trajectory. Same sampled batches (mirror
+    emission never changes the sampled edges), so any divergence is the
+    mirror plumbing (emission, wire packing, stacking, backward gate)."""
+    monkeypatch.setenv("SPTPU_GAT_CUSTOM_VJP", "1")
     import salient_plusplus_tpu.train.dist_loop as dl
     from salient_plusplus_tpu.partition import contiguous_partition
 

@@ -27,7 +27,7 @@ def _free_port():
     return port
 
 
-def _launch_two_process(tmp_path, model="SAGE"):
+def _launch_two_process(tmp_path, model="SAGE", extra_env=None):
     port = _free_port()
     out = str(tmp_path / "mp_result.json")
     env = dict(os.environ)
@@ -40,6 +40,7 @@ def _launch_two_process(tmp_path, model="SAGE"):
         "PYTHONPATH": os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))),
     })
+    env.update(extra_env or {})
     worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "_mp_worker.py")
     procs = [
@@ -108,14 +109,17 @@ def test_two_process_cluster_matches_single_process(tmp_path):
     np.testing.assert_allclose(mp["acc"], acc, atol=1e-6)
 
 
-def test_two_process_gat_mirror_matches_single_process(tmp_path):
-    """GAT across a REAL process boundary with the scatter-free mirror
-    backward (round-4 gap: DistributedTrainer never set mirror_all, so
-    multichip GAT/GCN fell back to the scatter-add autodiff path): the
-    2-process loss trajectory must match the identical single-process
-    8-device run — same gradients through psum — and the distributed
-    specs must carry mirror_all."""
-    mp = _launch_two_process(tmp_path, model="GAT")
+def test_two_process_gat_mirror_matches_single_process(
+        tmp_path, monkeypatch):
+    """GAT across a REAL process boundary with mirror_all specs
+    (env-opt-in custom-VJP mode; round-4 gap: DistributedTrainer never
+    set mirror_all, so multichip runs silently lost the mirror
+    plumbing): the 2-process loss trajectory must match the identical
+    single-process 8-device run — same gradients through psum — and the
+    distributed specs must carry mirror_all."""
+    monkeypatch.setenv("SPTPU_GAT_CUSTOM_VJP", "1")
+    mp = _launch_two_process(tmp_path, model="GAT",
+                             extra_env={"SPTPU_GAT_CUSTOM_VJP": "1"})
     assert mp["process_count"] == 2
     assert mp["mirror_all"]
     assert mp["overflow"] == 0
