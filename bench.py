@@ -172,6 +172,7 @@ def main():
         spec_buckets=int(os.environ.get("BENCH_BUCKETS",
                                         RunConfig.spec_buckets)),
         hbm_fraction=hbm_fraction,
+        gsrc_mode=os.environ.get("BENCH_GSRC", "auto"),
         cold_fp8=cold_fp8,
         cold_cache_slots=cold_cache_slots,
         h2d_credit_mbs=(float(h2d_credit_env) if h2d_credit_env
@@ -368,6 +369,25 @@ def main():
             camp["edges_per_batch"], 1) * camp["bytes_per_batch"] / 1e6
         chip_state = chip_state_verdict(frac, h2d_need, h2d_burst,
                                         degraded_frac)
+        if chip_state == "degraded" and trainer.global_msg0 \
+                and os.environ.get("BENCH_GSRC", "auto") != "off" \
+                and os.environ.get("BENCH_GSRC_FALLBACK", "1") != "0":
+            # r5 finding: the platform intermittently executes the
+            # gsrc-mode step ~10x slow (4.6M vs 80M r4, bit-identical
+            # program, unhealed by rest-retries) while the non-gsrc
+            # program runs at full speed in the same minutes. Resting
+            # does not fix it — re-exec the whole bench on the non-gsrc
+            # formulation immediately (that run keeps its own rest-based
+            # retries, so a genuinely sick chip is still handled).
+            print("bench: degraded verdict on the gsrc program — "
+                  "re-exec with BENCH_GSRC=off (gsrc-slow platform "
+                  "pathology, PERF_NOTES r5)", file=sys.stderr,
+                  flush=True)
+            env = dict(os.environ)
+            env["BENCH_GSRC"] = "off"
+            env["BENCH_GSRC_FALLBACK_FROM"] = json.dumps(
+                [[round(w, 1) for w in c["windows"]] for c in campaigns])
+            os.execve(sys.executable, [sys.executable] + sys.argv, env)
         if chip_state != "degraded" or len(campaigns) >= max_attempts:
             break
         print(f"bench: DEGRADED-CHIP signature (roofline_frac "
@@ -499,6 +519,14 @@ def main():
         # sick-chip capture and a reader must adjudicate with the
         # windows_all_attempts / probe / h2d / microstep trail.
         "chip_state": chip_state,
+        # gsrc-slow fallback trail: "auto" = the gsrc program ran and
+        # passed; "off" + gsrc_fallback_windows = a prior in-process
+        # campaign on the gsrc program recorded these degraded windows
+        # and the bench re-executed itself on the non-gsrc formulation
+        "gsrc_mode": os.environ.get("BENCH_GSRC", "auto"),
+        "gsrc_fallback_windows": json.loads(
+            os.environ["BENCH_GSRC_FALLBACK_FROM"])
+            if os.environ.get("BENCH_GSRC_FALLBACK_FROM") else None,
         # microstep cross-check interpretation: if the same-process
         # back-to-back step time agrees with the windows, the STEP is
         # genuinely that slow (program-bound, or a roofline-model gap —
